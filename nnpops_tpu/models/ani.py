@@ -1,0 +1,119 @@
+"""The composite ANI model (the ``OptimizedTorchANI`` equivalent).
+
+Reproduces the four-stage pipeline of the reference
+(OptimizedTorchANI.py:45-52): species conversion -> AEV featurization ->
+atomic-network ensemble -> self-energy shift — but as one pure function that
+jits into a single XLA program, with forces from ``jax.grad`` on positions
+instead of a backward pass through op boundaries.
+
+Stateless by design: the Holder pattern's lazy device binding and cached
+output tensors (SymmetryFunctions.cpp:104-146) do not exist here; parameters
+are a pytree, positions go in, energy comes out.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ANI2X_ELEMENTS, ANI2X_LAYER_DIMS, ANIBasis
+from ..ops.aev import aev_forward
+from ..ops.batched_nn import (EnsembleParams, SpeciesGrouping, build_grouping,
+                              ensemble_energy, init_ensemble)
+
+Array = jnp.ndarray
+
+
+def species_from_atomic_numbers(atomic_numbers, elements: Sequence[int] = ANI2X_ELEMENTS) -> np.ndarray:
+    """Atomic numbers -> dense species indices.
+
+    The SpeciesConverter equivalent (SpeciesConverter.py:33-34): the lookup is
+    precomputed once at model build, never per step. Raises on unsupported
+    elements (index -1 in the torchani convention).
+    """
+    table = -np.ones(int(max(elements)) + 1, dtype=np.int32)
+    for i, z in enumerate(elements):
+        table[z] = i
+    z = np.asarray(atomic_numbers, dtype=np.int64)
+    if (z < 0).any() or (z >= len(table)).any() or (table[z] < 0).any():
+        raise ValueError(f'unsupported atomic numbers for elements {tuple(elements)}')
+    return table[z].astype(np.int32)
+
+
+class ANIParams(NamedTuple):
+    """Learnable/loadable parameters of an ANI model (a pure pytree)."""
+    ensemble: EnsembleParams
+    self_energies: Array   # [num_species] per-species SAE values
+
+
+def init_ani_params(key, basis: ANIBasis,
+                    layer_dims: Sequence[Sequence[int]] = ANI2X_LAYER_DIMS,
+                    num_models: int = 8,
+                    self_energies: Optional[np.ndarray] = None) -> ANIParams:
+    ens = init_ensemble(key, basis.aev_length, layer_dims, num_models)
+    if self_energies is None:
+        sae = jnp.zeros((basis.num_species,), jnp.float32)
+    else:
+        sae = jnp.asarray(self_energies, jnp.float32)
+    return ANIParams(ens, sae)
+
+
+@dataclasses.dataclass(frozen=True)
+class ANIModel:
+    """A system-bound ANI model: basis + static species assignment.
+
+    Build once per chemical system (species never change during MD); the
+    instance precomputes the species grouping used by the MXU matmul path and
+    the SAE gather, then exposes pure ``energy`` / ``energy_and_forces``
+    functions of (params, positions).
+    """
+    basis: ANIBasis
+    species: Tuple[int, ...]                 # static species indices
+    angular_capacity: Optional[int] = None
+
+    @classmethod
+    def from_atomic_numbers(cls, atomic_numbers, basis: Optional[ANIBasis] = None,
+                            elements: Sequence[int] = ANI2X_ELEMENTS,
+                            angular_capacity: Optional[int] = None) -> 'ANIModel':
+        basis = basis if basis is not None else ANIBasis.ani2x()
+        sp = species_from_atomic_numbers(atomic_numbers, elements)
+        return cls(basis=basis, species=tuple(int(s) for s in sp),
+                   angular_capacity=angular_capacity)
+
+    @property
+    def num_atoms(self) -> int:
+        return len(self.species)
+
+    @property
+    def species_array(self) -> np.ndarray:
+        return np.asarray(self.species, dtype=np.int32)
+
+    @property
+    def grouping(self) -> SpeciesGrouping:
+        return build_grouping(self.species_array, self.basis.num_species)
+
+    def aev(self, positions: Array, box: Optional[Array] = None,
+            neighbors: Optional[Array] = None) -> Array:
+        return aev_forward(positions, jnp.asarray(self.species_array), self.basis,
+                           box=box, neighbors=neighbors,
+                           angular_capacity=self.angular_capacity)
+
+    def energy(self, params: ANIParams, positions: Array,
+               box: Optional[Array] = None,
+               neighbors: Optional[Array] = None) -> Array:
+        """Total potential energy (NN ensemble mean + self-atomic energies,
+        the EnergyShifter stage of EnergyShifter.py:45-52)."""
+        feat = self.aev(positions, box, neighbors)
+        e_nn = ensemble_energy(params.ensemble, feat, self.grouping)
+        sae = jnp.sum(params.self_energies[jnp.asarray(self.species_array)])
+        return e_nn + sae
+
+    def energy_and_forces(self, params: ANIParams, positions: Array,
+                          box: Optional[Array] = None,
+                          neighbors: Optional[Array] = None) -> Tuple[Array, Array]:
+        """Energy and forces = -dE/dpositions, one fused XLA program."""
+        e, grad = jax.value_and_grad(self.energy, argnums=1)(params, positions, box, neighbors)
+        return e, -grad

@@ -1,0 +1,230 @@
+"""ANI symmetry functions (atomic environment vectors) in pure JAX.
+
+TPU-native re-design of the reference ANI kernels
+(``src/ani/CpuANISymmetryFunctions.cpp``, ``src/ani/CudaANISymmetryFunctions.cu``):
+
+* The math follows the reference exactly: cosine cutoff (CpuANISymmetryFunctions
+  .cpp:381-383), radial ``fc(r) * exp(-eta*(r-rs)^2)`` accumulated per neighbor
+  species (:141-147), angular ``fc(r12)*fc(r13) * (1+cos(theta-ts))^zeta *
+  exp(-eta*(rmean-rs)^2)`` accumulated per unordered species pair (:183-190),
+  TorchANI-mode radial x0.25 and dot x0.95 (:99-103, :392-393), and the
+  ``2^(1-zeta)`` angular scale (:104-109).
+* The *implementation* is entirely different: instead of hand-written forward +
+  analytic-backprop kernel pairs with atomics (CudaANISymmetryFunctions.cu:408-596),
+  the forward pass is a masked dense computation over a static-capacity
+  per-atom neighbor list, and forces come from ``jax.grad``. The per-species
+  and per-species-pair scatter is expressed as one-hot contractions, which XLA
+  lowers to MXU matmuls (a [T,A]x[T,P] batched contraction per atom).
+* Shapes are fully static: neighbor lists are padded to capacity K with the
+  sentinel index N, angular neighbors to K_ang, triples are the static
+  triangular enumeration of K_ang — so one jitted program serves every MD step
+  (the CUDA-graph contract of the reference, SURVEY §2.3, holds by construction).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ANIBasis
+from ..geometry import cosine_cutoff, minimum_image
+
+Array = jnp.ndarray
+
+
+class AEV(NamedTuple):
+    radial: Array    # [N, S * R]
+    angular: Array   # [N, P * A], P = S(S+1)/2
+
+
+def species_pair_index(num_species: int) -> np.ndarray:
+    """Map (species_i, species_j) -> unordered-pair symmetry-function index.
+
+    Same enumeration as the reference's ``angularIndex`` table
+    (CpuANISymmetryFunctions.cpp:39-43): index increments over (i, j >= i).
+    """
+    s = num_species
+    table = np.zeros((s, s), dtype=np.int32)
+    idx = 0
+    for i in range(s):
+        for j in range(i, s):
+            table[i, j] = table[j, i] = idx
+            idx += 1
+    return table
+
+
+def dense_neighbor_list(num_atoms: int) -> np.ndarray:
+    """The trivial all-atoms neighbor list: for each atom, every other atom.
+
+    [N, N-1] int32. This is the O(N^2) regime the reference targets for small
+    molecules (CpuANISymmetryFunctions.cpp:114-116); large systems use the
+    cell-list builder instead.
+    """
+    n = num_atoms
+    idx = np.arange(n, dtype=np.int32)
+    # Row i: 0..n-1 excluding i.
+    full = np.broadcast_to(idx, (n, n))
+    mask = full != idx[:, None]
+    return full[mask].reshape(n, n - 1).copy()
+
+
+def _angle(dot: Array, cross_sq: Array, r1r2: Array, torchani: bool) -> Array:
+    """The interior angle between two displacement vectors.
+
+    TorchANI mode: ``acos(0.95 * dot / (r1*r2))`` (CpuANISymmetryFunctions
+    .cpp:392-394 — the 0.95 factor both mimics TorchANI and keeps acos away
+    from its singularity).
+
+    Publication mode: the reference switches between acos and a cross-product
+    asin near |cos| ~ 1 (:396-404). We use the equivalent single-expression
+    ``atan2(|v1 x v2|, v1 . v2)``, which is exact for all angles and has the
+    same stability property, with an epsilon guard on the norm so jax.grad
+    stays finite at exactly-collinear triples.
+    """
+    if torchani:
+        cosine = jnp.clip(0.95 * dot / r1r2, -1.0, 1.0)
+        return jnp.arccos(cosine)
+    eps = jnp.asarray(1e-12, dot.dtype)
+    cross = jnp.sqrt(jnp.maximum(cross_sq, eps))
+    return jnp.arctan2(cross, dot)
+
+
+def _pow(base: Array, exponent: Array) -> Array:
+    """``base ** exponent`` for base >= 0 with well-defined value/grad at 0."""
+    base = jnp.maximum(base, 0.0)
+    return jnp.power(base, exponent)
+
+
+def compute_aev(
+    positions: Array,
+    species: Array,
+    basis: ANIBasis,
+    box: Optional[Array] = None,
+    neighbors: Optional[Array] = None,
+    angular_capacity: Optional[int] = None,
+) -> AEV:
+    """Compute radial and angular symmetry functions for every atom.
+
+    Args:
+      positions: [N, 3] float32 atom positions.
+      species: [N] int32 species indices in [0, num_species).
+      basis: the symmetry-function basis (static).
+      box: optional [3, 3] reduced box vectors for periodic systems.
+      neighbors: optional [N, K] int32 per-atom neighbor candidate list padded
+        with the sentinel N. Defaults to the dense all-atoms list. Entries
+        must be *directed* (if j lists i, i lists j) and may include atoms
+        beyond the cutoff — they are masked by distance here.
+      angular_capacity: cap on per-atom neighbors used for the angular triples
+        (defaults to K). Compaction keeps neighbors within the angular cutoff;
+        if an atom has more true angular neighbors than the cap, the extra
+        contributions are dropped (capacity-overflow contract — callers size
+        the cap from the physics like the reference sizes max_num_pairs).
+
+    Returns:
+      AEV(radial [N, S*R], angular [N, P*A]) matching the reference layout
+      (ANISymmetryFunctions.h:73-76 plus the flattened concatenation of
+      SymmetryFunctions.py:120-122).
+    """
+    num_atoms = positions.shape[0]
+    s = basis.num_species
+    if neighbors is None:
+        neighbors = jnp.asarray(dense_neighbor_list(num_atoms))
+    k = neighbors.shape[1]
+    k_ang = angular_capacity if angular_capacity is not None else k
+    k_ang = min(k_ang, k)
+
+    dtype = positions.dtype
+    r_eta = jnp.asarray(basis.radial_eta, dtype)
+    r_rs = jnp.asarray(basis.radial_rs, dtype)
+    a_eta = jnp.asarray(basis.angular_eta, dtype)
+    a_rs = jnp.asarray(basis.angular_rs, dtype)
+    a_zeta = jnp.asarray(basis.angular_zeta, dtype)
+    a_ts = jnp.asarray(basis.angular_thetas, dtype)
+
+    in_range = neighbors < num_atoms
+    safe_idx = jnp.where(in_range, neighbors, 0)
+    # delta[n, k] points from atom n to its neighbor (pos2 - pos1, matching
+    # computeDisplacement at CpuANISymmetryFunctions.cpp:355-359).
+    delta = positions[safe_idx] - positions[:, None, :]
+    delta = minimum_image(delta, box)
+    r2 = jnp.sum(delta * delta, axis=-1)
+
+    rc, ra = basis.radial_cutoff, basis.angular_cutoff
+    valid_r = in_range & (r2 < rc * rc)
+    safe_r2 = jnp.where(valid_r, r2, 1.0)
+    r = jnp.sqrt(safe_r2)
+
+    # ---- Radial block: contributions scattered per neighbor species via a
+    # one-hot contraction (MXU) instead of atomics.
+    fc = cosine_cutoff(r, rc)
+    shifted = r[..., None] - r_rs               # [N, K, R]
+    radial_pair = fc[..., None] * jnp.exp(-r_eta * shifted * shifted)
+    radial_pair = jnp.where(valid_r[..., None], radial_pair, 0.0)
+    neighbor_onehot = jax.nn.one_hot(species[safe_idx], s, dtype=dtype)
+    neighbor_onehot = neighbor_onehot * valid_r[..., None]
+    radial = jnp.einsum('nkr,nks->nsr', radial_pair, neighbor_onehot)
+    if basis.torchani:
+        radial = radial * 0.25
+
+    # ---- Angular block. Compact each atom's angular-cutoff neighbors to the
+    # front of a K_ang slot list (stable, deterministic).
+    valid_a = in_range & (r2 < ra * ra)
+    if k_ang < k:
+        order = jnp.argsort(jnp.logical_not(valid_a), axis=1, stable=True)[:, :k_ang]
+        ang_idx = jnp.take_along_axis(safe_idx, order, axis=1)
+        ang_valid = jnp.take_along_axis(valid_a, order, axis=1)
+        ang_delta = jnp.take_along_axis(delta, order[..., None], axis=1)
+    else:
+        ang_idx, ang_valid, ang_delta = safe_idx, valid_a, delta
+
+    jj, kk = np.triu_indices(k_ang, k=1)
+    jj = jnp.asarray(jj, jnp.int32)
+    kk = jnp.asarray(kk, jnp.int32)
+
+    d1 = ang_delta[:, jj, :]                    # [N, T, 3]
+    d2 = ang_delta[:, kk, :]
+    tri_valid = ang_valid[:, jj] & ang_valid[:, kk]
+    r2_1 = jnp.sum(d1 * d1, axis=-1)
+    r2_2 = jnp.sum(d2 * d2, axis=-1)
+    safe1 = jnp.where(tri_valid, r2_1, 1.0)
+    safe2 = jnp.where(tri_valid, r2_2, 1.0)
+    r1 = jnp.sqrt(safe1)
+    r2_ = jnp.sqrt(safe2)
+    dot = jnp.sum(d1 * d2, axis=-1)
+    dot = jnp.where(tri_valid, dot, 0.0)
+    cross = jnp.cross(d1, d2)
+    cross_sq = jnp.sum(cross * cross, axis=-1)
+    cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
+    theta = _angle(dot, cross_sq, r1 * r2_, basis.torchani)
+
+    r_mean = 0.5 * (r1 + r2_)
+    fc2 = cosine_cutoff(r1, ra) * cosine_cutoff(r2_, ra)
+    cos_term = _pow(1.0 + jnp.cos(theta[..., None] - a_ts), a_zeta)   # [N, T, A]
+    shifted_a = r_mean[..., None] - a_rs
+    exp_term = jnp.exp(-a_eta * shifted_a * shifted_a)
+    tri_term = fc2[..., None] * cos_term * exp_term
+    tri_term = jnp.where(tri_valid[..., None], tri_term, 0.0)
+
+    # Unordered-species-pair one-hot: [N, T, P] (MXU contraction partner).
+    pair_table = jnp.asarray(species_pair_index(s))
+    sp1 = species[ang_idx[:, jj]]
+    sp2 = species[ang_idx[:, kk]]
+    pair_idx = pair_table[sp1, sp2]
+    num_pairs = basis.num_species_pairs
+    pair_onehot = jax.nn.one_hot(pair_idx, num_pairs, dtype=dtype)
+    pair_onehot = pair_onehot * tri_valid[..., None]
+    angular = jnp.einsum('nta,ntp->npa', tri_term, pair_onehot)
+    angular = angular * _pow(2.0, 1.0 - a_zeta)
+
+    return AEV(radial.reshape(num_atoms, -1), angular.reshape(num_atoms, -1))
+
+
+def aev_forward(positions, species, basis: ANIBasis, box=None, neighbors=None,
+                angular_capacity=None) -> Array:
+    """Concatenated [N, aev_length] feature matrix (radial || angular),
+    the layout consumed by the atomic networks (SymmetryFunctions.py:120-122)."""
+    radial, angular = compute_aev(positions, species, basis, box, neighbors,
+                                  angular_capacity)
+    return jnp.concatenate([radial, angular], axis=1)

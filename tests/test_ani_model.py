@@ -1,0 +1,109 @@
+"""End-to-end tests of the composite ANI model (OptimizedTorchANI parity).
+
+The reference's core test is differential: swap one component and assert
+energy/force parity (TestOptimizedTorchANI.py:35-66). Without TorchANI in
+this environment, the oracle is the composite's own pieces evaluated
+independently plus FD force validation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnpops_tpu.config import ANIBasis
+from nnpops_tpu.models.ani import (ANIModel, init_ani_params,
+                                   species_from_atomic_numbers)
+
+# A gas-phase methanol-like fixture: CH3OH (BASELINE config 1).
+METHANOL_Z = [6, 1, 1, 1, 8, 1]
+METHANOL_POS = np.array([
+    [-0.046, 0.663, 0.0],
+    [-1.097, 0.904, 0.174],
+    [0.574, 1.217, 0.705],
+    [0.137, 0.947, -1.026],
+    [0.117, -0.716, 0.152],
+    [1.061, -0.898, 0.033],
+], dtype=np.float32)
+
+
+@pytest.fixture(scope='module')
+def model_and_params():
+    basis = ANIBasis.ani2x()
+    model = ANIModel.from_atomic_numbers(METHANOL_Z, basis)
+    params = init_ani_params(jax.random.PRNGKey(7), basis,
+                             self_energies=np.linspace(-40, -1, 7))
+    return model, params
+
+
+def test_species_converter():
+    sp = species_from_atomic_numbers([1, 6, 7, 8, 16, 9, 17])
+    np.testing.assert_array_equal(sp, [0, 1, 2, 3, 4, 5, 6])
+    with pytest.raises(ValueError):
+        species_from_atomic_numbers([2])  # He unsupported
+
+
+def test_energy_shift_is_sae_sum(model_and_params):
+    """EnergyShifter parity: E(params with SAE) - E(params zero SAE) ==
+    sum of per-atom self energies (EnergyShifter.py:45-52)."""
+    model, params = model_and_params
+    pos = jnp.asarray(METHANOL_POS)
+    e_with = float(model.energy(params, pos))
+    zero = params._replace(self_energies=jnp.zeros_like(params.self_energies))
+    e_without = float(model.energy(zero, pos))
+    sae = np.asarray(params.self_energies)[model.species_array].sum()
+    np.testing.assert_allclose(e_with - e_without, sae, rtol=1e-6)
+
+
+def test_forces_match_finite_difference(model_and_params):
+    model, params = model_and_params
+    pos = jnp.asarray(METHANOL_POS)
+    e, forces = jax.jit(model.energy_and_forces)(params, pos)
+    assert np.isfinite(float(e))
+    f = np.asarray(forces)
+    energy = jax.jit(lambda p: model.energy(params, p))
+    step = 1e-3
+    norm = np.linalg.norm(f)
+    d = step / norm
+    e1 = float(energy(pos + d * f))
+    e2 = float(energy(pos - d * f))
+    # Force is -grad: moving along +f decreases energy by |grad| per unit.
+    estimate = (e2 - e1) / (2 * step)
+    np.testing.assert_allclose(norm, estimate, rtol=5e-3, atol=1e-5)
+
+
+def test_single_jit_program(model_and_params):
+    """The whole model compiles once and is stable across position updates
+    (SURVEY §7.1.5: one jitted program per MD step)."""
+    model, params = model_and_params
+    f = jax.jit(model.energy_and_forces)
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        f(params, jnp.asarray(METHANOL_POS + 0.01 * rng.randn(6, 3).astype(np.float32)))
+    assert f._cache_size() == 1
+
+
+def test_translation_invariance(model_and_params):
+    model, params = model_and_params
+    pos = jnp.asarray(METHANOL_POS)
+    e1 = float(model.energy(params, pos))
+    e2 = float(model.energy(params, pos + jnp.asarray([5.0, -3.0, 2.0])))
+    np.testing.assert_allclose(e1, e2, rtol=1e-5)
+
+
+def test_periodic_system():
+    """ANI on a small periodic box: energy finite, forces finite, and a
+    far-apart periodic image contributes like its wrapped copy."""
+    basis = ANIBasis.ani2x()
+    z = [8, 1, 1] * 4
+    rng = np.random.RandomState(1)
+    base = rng.rand(12, 3).astype(np.float32) * 11
+    box = jnp.eye(3, dtype=jnp.float32) * 11.0
+    model = ANIModel.from_atomic_numbers(z, basis)
+    params = init_ani_params(jax.random.PRNGKey(0), basis)
+    e, f = model.energy_and_forces(params, jnp.asarray(base), box=box)
+    assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
+    # Shifting one atom by a full box vector must not change the energy.
+    shifted = base.copy()
+    shifted[3] += np.array([11.0, 0, 0], np.float32)
+    e2, _ = model.energy_and_forces(params, jnp.asarray(shifted), box=box)
+    np.testing.assert_allclose(float(e), float(e2), rtol=1e-5)
