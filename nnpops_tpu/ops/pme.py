@@ -1,0 +1,286 @@
+"""Particle Mesh Ewald electrostatics in pure JAX.
+
+Reimplements the algorithm of the reference PME op (``src/pytorch/pme/``):
+
+* direct space: erfc-damped Coulomb over a neighbor pair list with exclusion
+  skipping, minus erf-damped compensation for the excluded interactions that
+  reciprocal space unavoidably includes (pmeCPU.cpp:105-157);
+* reciprocal space: cardinal B-spline charge spreading onto a 3D grid
+  (pmeCPU.cpp:202-224), a real FFT, the Ewald k-space convolution and energy
+  (pmeCPU.cpp:235-266), plus the analytic self-energy term (pme.py:194);
+* host-side B-spline Fourier moduli precompute at construction (pme.py:94-129).
+
+TPU-native differences:
+
+* charge spreading is a single deterministic ``scatter-add`` of the
+  [N, order^3] outer-product stencil (vs the reference's per-atom triple loop
+  with atomicAdd, pmeCUDA.cu:158-190); the k-space factor is a broadcasted
+  elementwise expression; the FFT is XLA's ``jnp.fft.rfftn``.
+* gradients come from ``jax.grad`` through the whole thing — the spline
+  recursion, the scatter (whose transpose is the force-interpolation gather of
+  pmeCPU.cpp:324-343) and the FFT — so positions AND charges get exact
+  derivatives of any order. The reference caches first derivatives in the
+  forward pass and throws on second derivatives (pme.py:36-38); this
+  implementation lifts that restriction.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import erfc
+
+from ..config import PMEConfig
+from ..geometry import invert_box, validate_box
+from ..neighbors.pairs import MaskedPairs, neighbor_pairs_masked
+
+Array = jnp.ndarray
+
+_TWO_OVER_SQRT_PI = float(2.0 / np.sqrt(np.pi))
+
+
+# ---------------------------------------------------------------------------
+# B-spline machinery.
+
+def bspline_weights(dr: Array, order: int) -> Array:
+    """Cardinal B-spline weights of ``order`` for fractional offsets ``dr``.
+
+    Returns [..., order] where slot k is the weight of grid point
+    ``base + k``. Cox–de Boor recursion on uniform knots, vectorized over
+    atoms/axes; same values as the reference's in-place ``computeSpline``
+    recursion (pmeCPU.cpp:49-69). AD through the recursion reproduces the
+    derivative splines (ddata) automatically.
+    """
+    pad = [(0, 0)] * dr.ndim
+    w = jnp.stack([1.0 - dr, dr], axis=-1)
+    for j in range(3, order + 1):
+        div = 1.0 / (j - 1)
+        prev = jnp.pad(w, pad + [(0, 1)])        # w_{j-1}[k]
+        shifted = jnp.pad(w, pad + [(1, 0)])     # w_{j-1}[k-1]
+        k = jnp.arange(j, dtype=dr.dtype)
+        w = div * ((dr[..., None] + (j - 1 - k)) * shifted
+                   + (k + 1.0 - dr[..., None]) * prev)
+    return w
+
+
+def bspline_moduli(grid_sizes: Sequence[int], order: int) -> Tuple[np.ndarray, ...]:
+    """Squared DFT magnitudes of the B-spline for each grid axis.
+
+    Host-side float32 precompute, one per axis, following the standard PME
+    construction (Essmann et al. 1995; reference pme.py:94-129): evaluate the
+    order-n spline at the integer knots, take |DFT|^2, and patch near-zero
+    entries with the average of their neighbors.
+    """
+    # Order-n spline at integer nodes 1..n (dr = 0 stencil).
+    data = np.zeros(order, dtype=np.float64)
+    data[0] = 1.0
+    for j in range(3, order + 1):
+        div = 1.0 / (j - 1)
+        new = np.zeros(order, dtype=np.float64)
+        for k in range(j):
+            left = data[k - 1] if k >= 1 else 0.0
+            new[k] = div * ((j - 1 - k) * left + (k + 1.0) * data[k])
+        data = new
+    knots = np.zeros(max(grid_sizes), dtype=np.float64)
+    knots[1:order + 1] = data[:order]
+
+    moduli = []
+    for ndata in grid_sizes:
+        i = np.arange(ndata)
+        arg = 2.0 * np.pi * np.outer(i, i) / ndata
+        sc = (knots[:ndata] * np.cos(arg)).sum(axis=1)
+        ss = (knots[:ndata] * np.sin(arg)).sum(axis=1)
+        m = sc * sc + ss * ss
+        small = m < 1e-7
+        patched = 0.5 * (np.roll(m, 1) + np.roll(m, -1))
+        m = np.where(small, patched, m)
+        moduli.append(m.astype(np.float32))
+    return tuple(moduli)
+
+
+# ---------------------------------------------------------------------------
+# Direct space.
+
+def pme_direct_energy(positions: Array, charges: Array, pairs: MaskedPairs,
+                      exclusions: Array, alpha: float, coulomb: float) -> Array:
+    """Direct-space Ewald energy over a masked pair list.
+
+    Pairs listed in ``exclusions`` are skipped entirely; then every exclusion
+    gets an erf-damped compensation subtracted using the UNWRAPPED
+    displacement — excluded atoms still interact with all *other* periodic
+    copies of each other (pme.py:25-33), and reciprocal space incorrectly
+    added the primary-copy interaction, so exactly that one is removed
+    (pmeCPU.cpp:134-157).
+
+    exclusions: [N, E] int32 padded with -1.
+    """
+    q1 = charges[pairs.atom1]
+    q2 = charges[pairs.atom2]
+    # Exclusion lookup: pair (i, j) excluded iff j appears in exclusions[i].
+    excl_rows = exclusions[pairs.atom1]                     # [P, E]
+    excluded = jnp.any(excl_rows == pairs.atom2[:, None], axis=-1)
+    include = pairs.mask & jnp.logical_not(excluded)
+
+    r = jnp.where(include, pairs.distances, 1.0)
+    alpha_r = alpha * r
+    e_pair = coulomb * q1 * q2 * erfc(alpha_r) / r
+    energy = jnp.sum(jnp.where(include, e_pair, 0.0))
+
+    # Compensation over the exclusion table itself, deduped to j > i.
+    n, e = exclusions.shape
+    if e > 0:
+        i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, e))
+        j_idx = exclusions
+        valid = j_idx > i_idx                                # also rejects -1 padding
+        j_safe = jnp.where(valid, j_idx, 0)
+        dr = positions[i_idx.reshape(-1)] - positions[j_safe.reshape(-1)]
+        d2 = jnp.sum(dr * dr, axis=-1).reshape(n, e)
+        d2 = jnp.where(valid, d2, 1.0)
+        rr = jnp.sqrt(d2)
+        erf_term = 1.0 - erfc(alpha * rr)
+        e_excl = coulomb * charges[i_idx] * charges[j_safe] * erf_term / rr
+        energy = energy - jnp.sum(jnp.where(valid, e_excl, 0.0))
+    return energy
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal space.
+
+def spread_charges(positions: Array, charges: Array, box: Array,
+                   config: PMEConfig) -> Array:
+    """Spread charges onto the PME grid with order-n B-splines.
+
+    One scatter-add of the [N, order^3] stencil (deterministic on TPU),
+    replacing the reference's per-atom loops + atomics (pmeCPU.cpp:202-224).
+    Differentiating through this scatter yields the force-interpolation
+    gather automatically.
+    """
+    gx, gy, gz = config.grid_shape
+    order = config.order
+    recip = invert_box(box)
+    t = positions @ recip                                   # fractional coords
+    t = (t - jnp.floor(t)) * jnp.asarray([gx, gy, gz], positions.dtype)
+    ti = jnp.floor(t)
+    dr = t - ti                                             # in [0, 1)
+    base = ti.astype(jnp.int32) % jnp.asarray([gx, gy, gz], jnp.int32)
+
+    w = bspline_weights(dr, order)                          # [N, 3, order]
+    offsets = jnp.arange(order, dtype=jnp.int32)
+    idx = (base[:, :, None] + offsets) % jnp.asarray([gx, gy, gz], jnp.int32)[None, :, None]
+
+    amp = charges * np.sqrt(config.coulomb)
+    stencil = (amp[:, None, None, None]
+               * w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :])
+    flat_idx = ((idx[:, 0, :, None, None] * gy + idx[:, 1, None, :, None]) * gz
+                + idx[:, 2, None, None, :])
+    grid = jnp.zeros((gx * gy * gz,), positions.dtype)
+    grid = grid.at[flat_idx.reshape(-1)].add(stencil.reshape(-1))
+    return grid.reshape(gx, gy, gz)
+
+
+def reciprocal_eterm(box: Array, config: PMEConfig,
+                     moduli: Tuple[Array, Array, Array]) -> Array:
+    """The k-space convolution factor over the rfftn half-spectrum
+    (pmeCPU.cpp:243-260), as one broadcasted expression."""
+    gx, gy, gz = config.grid_shape
+    zsize = gz // 2 + 1
+    recip = invert_box(box)
+
+    def wrapped(k, g):
+        return jnp.where(k < (g + 1) // 2, k, k - g).astype(box.dtype)
+
+    mx = wrapped(jnp.arange(gx), gx)[:, None, None]
+    my = wrapped(jnp.arange(gy), gy)[None, :, None]
+    mz = wrapped(jnp.arange(zsize), gz)[None, None, :]
+    mhx = mx * recip[0, 0]
+    mhy = mx * recip[1, 0] + my * recip[1, 1]
+    mhz = mx * recip[2, 0] + my * recip[2, 1] + mz * recip[2, 2]
+    m2 = mhx * mhx + mhy * mhy + mhz * mhz
+
+    scale_factor = jnp.pi * box[0, 0] * box[1, 1] * box[2, 2]
+    denom = m2 * scale_factor * (moduli[0][:, None, None]
+                                 * moduli[1][None, :, None]
+                                 * moduli[2][None, None, :zsize])
+    exp_factor = (jnp.pi * jnp.pi) / (config.alpha * config.alpha)
+    safe_m2 = jnp.where(m2 > 0, m2, 1.0)
+    safe_denom = jnp.where(denom != 0, denom, 1.0)
+    eterm = jnp.exp(-exp_factor * safe_m2) / safe_denom
+    # Zero the k=0 term (index 0 in the flat ordering, pmeCPU.cpp:259).
+    eterm = eterm.at[0, 0, 0].set(0.0)
+    return eterm
+
+
+def pme_reciprocal_energy(positions: Array, charges: Array, box: Array,
+                          config: PMEConfig,
+                          moduli: Tuple[Array, Array, Array]) -> Array:
+    """Reciprocal-space Ewald energy, NOT including the self-energy term."""
+    gx, gy, gz = config.grid_shape
+    zsize = gz // 2 + 1
+    grid = spread_charges(positions, charges, box, config)
+    gk = jnp.fft.rfftn(grid)
+    eterm = reciprocal_eterm(box, config, moduli)
+    # Half-spectrum double-count factor (pmeCPU.cpp:260): interior kz planes
+    # represent two conjugate frequencies.
+    kz = jnp.arange(zsize)
+    scale = jnp.where((kz > 0) & (kz <= (gz - 1) // 2), 2.0, 1.0)[None, None, :]
+    power = gk.real * gk.real + gk.imag * gk.imag
+    return 0.5 * jnp.sum(scale * eterm * power)
+
+
+def pme_self_energy(charges: Array, alpha: float, coulomb: float) -> Array:
+    """The analytic Ewald self-energy ``-sum(q^2) * k * alpha / sqrt(pi)``
+    (pme.py:194)."""
+    return -jnp.sum(charges * charges) * coulomb * alpha / np.sqrt(np.pi)
+
+
+# ---------------------------------------------------------------------------
+# User-facing class (API parity with NNPOps.pme.PME).
+
+class PME:
+    """Particle Mesh Ewald, mirroring the reference class (pme/pme.py:52-196).
+
+    Unlike the reference this is stateless after construction and every
+    method is jit-able and differentiable to arbitrary order w.r.t. both
+    positions and charges.
+    """
+
+    def __init__(self, gridx: int, gridy: int, gridz: int, order: int,
+                 alpha: float, coulomb: float, exclusions):
+        self.config = PMEConfig(gridx, gridy, gridz, order, alpha, coulomb)
+        exclusions = np.asarray(exclusions, dtype=np.int32)
+        if exclusions.ndim != 2:
+            raise ValueError('exclusions must be 2D')
+        self.exclusions = jnp.asarray(exclusions)
+        self.moduli = tuple(jnp.asarray(m) for m in
+                            bspline_moduli(self.config.grid_shape, order))
+
+    def _check(self, positions, charges):
+        if positions.ndim != 2 or positions.shape[1] != 3:
+            raise ValueError('positions must have shape (atoms, 3)')
+        if charges.ndim != 1:
+            raise ValueError('charges must be 1D')
+        if (positions.shape[0] != self.exclusions.shape[0]
+                or charges.shape[0] != self.exclusions.shape[0]):
+            raise ValueError('positions, charges, and exclusions must all have the same length')
+
+    def compute_direct(self, positions: Array, charges: Array, cutoff: float,
+                       box_vectors: Array, max_num_pairs: int = -1) -> Array:
+        """Direct-space energy (pme.py:131-165). Builds the neighbor list
+        internally, like the reference."""
+        self._check(positions, charges)
+        if cutoff <= 0:
+            raise ValueError('cutoff must be positive')
+        pairs = neighbor_pairs_masked(positions, cutoff, max_num_pairs, box_vectors)
+        return pme_direct_energy(positions, charges, pairs, self.exclusions,
+                                 self.config.alpha, self.config.coulomb)
+
+    def compute_reciprocal(self, positions: Array, charges: Array,
+                           box_vectors: Array) -> Array:
+        """Reciprocal-space energy including the self-energy term
+        (pme.py:167-196)."""
+        self._check(positions, charges)
+        return (pme_self_energy(charges, self.config.alpha, self.config.coulomb)
+                + pme_reciprocal_energy(positions, charges, box_vectors,
+                                        self.config, self.moduli))

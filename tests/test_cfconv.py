@@ -1,0 +1,109 @@
+"""Golden-value and gradient tests for CFConv.
+
+Mirrors the reference tests (TestCFConv.h:81-248): SchNetPack-computed
+expected outputs for nonperiodic / periodic / triclinic / tanh cases
+(atol 1e-4, rtol 1e-3) plus FD-along-gradient validation of input and
+position derivatives (TestCFConv.h:17-79).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnpops_tpu.config import CFConvConfig
+from nnpops_tpu.ops.cfconv import (CFConvParams, build_cfconv_neighbors, cfconv)
+
+CONFIG = CFConvConfig(width=8, num_gaussians=5, cutoff=2.0, gaussian_width=0.5)
+
+
+def setup_case(golden, case):
+    params = CFConvParams.from_reference_layout(
+        golden['w1'], golden['b1'], golden['w2'], golden['b2'])
+    positions = jnp.asarray(golden['positions'])
+    box = jnp.asarray(golden[f'{case}_box']) if case in ('periodic', 'triclinic') else None
+    x = jnp.asarray(0.1 * np.arange(18 * 8, dtype=np.float32).reshape(18, 8))
+    config = CONFIG if case != 'tanh' else CFConvConfig(
+        width=8, num_gaussians=5, cutoff=2.0, gaussian_width=0.5, activation='tanh')
+    return params, positions, box, x, config
+
+
+def assert_golden(got, expected, atol=1e-4, rtol=1e-3):
+    got = np.asarray(got).ravel()
+    expected = np.asarray(expected).ravel()
+    diff = np.abs(expected - got)
+    bad = (diff > atol) & (diff / np.maximum(np.abs(expected), 1e-30) > rtol)
+    assert not bad.any(), f'{bad.sum()} mismatches, max diff {diff.max()}'
+
+
+@pytest.mark.parametrize('case', ['nonperiodic', 'periodic', 'triclinic', 'tanh'])
+def test_golden_values(golden_cfconv, case):
+    params, positions, box, x, config = setup_case(golden_cfconv, case)
+    neighbors = build_cfconv_neighbors(positions, config.cutoff, box)
+    y = cfconv(params, neighbors, x, config)
+    assert_golden(y, golden_cfconv[f'{case}_output'])
+
+
+@pytest.mark.parametrize('case', ['nonperiodic', 'periodic', 'tanh'])
+def test_input_derivatives(golden_cfconv, case):
+    """FD-along-gradient on the inputs (TestCFConv.h:33-53)."""
+    params, positions, box, x, config = setup_case(golden_cfconv, case)
+    neighbors = build_cfconv_neighbors(positions, config.cutoff, box)
+
+    def output_elem(inp, i):
+        return cfconv(params, neighbors, inp, config).ravel()[i]
+
+    step = 1e-3
+    rng = np.random.RandomState(0)
+    for i in rng.choice(18 * 8, size=20, replace=False):
+        g = np.asarray(jax.grad(output_elem)(x, int(i)))
+        norm = np.linalg.norm(g)
+        if norm < 1e-7:
+            continue
+        d = step / norm
+        v1 = float(output_elem(x - d * g, int(i)))
+        v2 = float(output_elem(x + d * g, int(i)))
+        est = (v2 - v1) / (2 * step)
+        assert abs(norm - est) <= 1e-5 + 5e-3 * abs(norm)
+
+
+@pytest.mark.parametrize('case', ['nonperiodic', 'triclinic'])
+def test_position_derivatives(golden_cfconv, case):
+    """FD-along-gradient on positions, rebuilding the neighbor list at the
+    displaced positions (TestCFConv.h:55-77)."""
+    params, positions, box, x, config = setup_case(golden_cfconv, case)
+
+    def output_elem(pos, i):
+        nb = build_cfconv_neighbors(pos, config.cutoff, box)
+        return cfconv(params, nb, x, config).ravel()[i]
+
+    step = 1e-3
+    rng = np.random.RandomState(1)
+    for i in rng.choice(18 * 8, size=15, replace=False):
+        g = np.asarray(jax.grad(output_elem)(positions, int(i)))
+        assert np.isfinite(g).all()
+        norm = np.linalg.norm(g)
+        if norm < 1e-7:
+            continue
+        d = step / norm
+        v1 = float(output_elem(positions - d * g, int(i)))
+        v2 = float(output_elem(positions + d * g, int(i)))
+        est = (v2 - v1) / (2 * step)
+        assert abs(norm - est) <= 1e-5 + 5e-3 * abs(norm)
+
+
+def test_shared_neighbor_list_across_layers(golden_cfconv):
+    """One neighbor list serves multiple conv layers (CFConv.h:28-32)."""
+    params, positions, box, x, config = setup_case(golden_cfconv, 'nonperiodic')
+    neighbors = build_cfconv_neighbors(positions, config.cutoff, box)
+    y = x
+    for _ in range(3):
+        y = cfconv(params, neighbors, y, config)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_capacity_mode_matches_all_pairs(golden_cfconv):
+    params, positions, box, x, config = setup_case(golden_cfconv, 'nonperiodic')
+    full = cfconv(params, build_cfconv_neighbors(positions, config.cutoff), x, config)
+    capped = cfconv(params, build_cfconv_neighbors(positions, config.cutoff,
+                                                   max_num_pairs=40), x, config)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(capped), rtol=1e-5, atol=1e-6)
