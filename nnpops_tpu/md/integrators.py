@@ -1,0 +1,103 @@
+"""MD integrators as pure step functions under ``jax.lax.scan``.
+
+The reference has no MD loop (it plugs kernels into someone else's); the
+BASELINE north star requires one ("Full OptimizedTorchANI MD loop: 1000
+Langevin steps under jax.lax.scan"). The whole trajectory compiles into a
+single XLA program: the force field, the integrator update and the RNG all
+live inside one scan body with static shapes.
+
+Integrators:
+* ``langevin_baoab`` — the BAOAB splitting of Langevin dynamics
+  (Leimkuhler & Matthews 2013), one force evaluation per step.
+* ``velocity_verlet`` — NVE, used for energy-drift validation.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+ForceFn = Callable[[Array], Tuple[Array, Array]]   # positions -> (energy, forces)
+
+
+class MDState(NamedTuple):
+    """Simulation state — a pure pytree, trivially checkpointable (SURVEY §5:
+    'MD state (positions, velocities, RNG key) checkpoints as a pytree')."""
+    positions: Array    # [N, 3]
+    velocities: Array   # [N, 3]
+    forces: Array       # [N, 3] forces at `positions` (carried for one-force-eval steps)
+    energy: Array       # [] potential energy at `positions`
+    key: Array          # jax PRNG key
+    step: Array         # [] int32
+
+
+def initialize(force_fn: ForceFn, positions: Array, masses: Array, kT: float,
+               key) -> MDState:
+    """Initial state with Maxwell-Boltzmann velocities."""
+    key, sub = jax.random.split(key)
+    sigma = jnp.sqrt(kT / masses)[:, None]
+    velocities = sigma * jax.random.normal(sub, positions.shape, positions.dtype)
+    energy, forces = force_fn(positions)
+    return MDState(positions, velocities, forces, energy, key,
+                   jnp.zeros((), jnp.int32))
+
+
+def langevin_baoab(force_fn: ForceFn, masses: Array, dt: float,
+                   friction: float, kT: float) -> Callable[[MDState], MDState]:
+    """One BAOAB Langevin step: B(half kick) A(half drift) O(thermostat)
+    A(half drift) B(half kick with fresh forces)."""
+    inv_m = (1.0 / masses)[:, None]
+    c1 = float(np.exp(-friction * dt))
+    c2 = float(np.sqrt(1.0 - c1 * c1))
+
+    def step(state: MDState) -> MDState:
+        v = state.velocities + 0.5 * dt * state.forces * inv_m
+        x = state.positions + 0.5 * dt * v
+        key, sub = jax.random.split(state.key)
+        sigma = jnp.sqrt(kT * inv_m)
+        v = c1 * v + c2 * sigma * jax.random.normal(sub, v.shape, v.dtype)
+        x = x + 0.5 * dt * v
+        energy, forces = force_fn(x)
+        v = v + 0.5 * dt * forces * inv_m
+        return MDState(x, v, forces, energy, key, state.step + 1)
+
+    return step
+
+
+def velocity_verlet(force_fn: ForceFn, masses: Array, dt: float) -> Callable[[MDState], MDState]:
+    """One NVE velocity-Verlet step."""
+    inv_m = (1.0 / masses)[:, None]
+
+    def step(state: MDState) -> MDState:
+        v_half = state.velocities + 0.5 * dt * state.forces * inv_m
+        x = state.positions + dt * v_half
+        energy, forces = force_fn(x)
+        v = v_half + 0.5 * dt * forces * inv_m
+        return MDState(x, v, forces, energy, state.key, state.step + 1)
+
+    return step
+
+
+def kinetic_energy(state: MDState, masses: Array) -> Array:
+    return 0.5 * jnp.sum(masses[:, None] * state.velocities ** 2)
+
+
+def run_md(step_fn: Callable[[MDState], MDState], state: MDState,
+           num_steps: int, record_every: int = 1):
+    """Run ``num_steps`` under one ``lax.scan``; returns (final_state,
+    energies) where energies[k] is the potential energy at recorded steps.
+
+    One compile serves any trajectory length that is a multiple of
+    ``record_every`` blocks — the static-shape analog of the reference's
+    CUDA-graph replay contract.
+    """
+    def block(state, _):
+        state = jax.lax.fori_loop(0, record_every, lambda _, s: step_fn(s), state)
+        return state, state.energy
+
+    num_blocks = num_steps // record_every
+    final, energies = jax.lax.scan(block, state, None, length=num_blocks)
+    return final, energies

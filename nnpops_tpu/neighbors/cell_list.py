@@ -1,0 +1,197 @@
+"""O(N) cell-list neighbor construction with static shapes.
+
+The reference acknowledges its O(N^2) neighbor search as the scaling limit
+("a voxel based algorithm would be more efficient",
+CpuANISymmetryFunctions.cpp:114-116, CpuCFConv.cpp:100-102) but never builds
+one. This module is that voxel algorithm, designed for XLA: every shape is
+static (cells x capacity, atoms x 27*capacity candidates, atoms x K
+neighbors), so the builder jits once and runs inside the MD step under
+``lax.scan``. Overflow (cell capacity or neighbor capacity) is reported as
+data, never as a shape change — the same soft-failure contract as
+``getNeighborPairs`` (getNeighborPairs.py:77-83).
+
+Works in fractional space so rectangular and reduced triclinic boxes share
+one code path; cell counts are derived from the box's perpendicular widths so
+a 27-cell stencil is always sufficient for the cutoff.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import minimum_image
+from .pairs import MaskedPairs
+
+Array = jnp.ndarray
+
+
+class NeighborList(NamedTuple):
+    """Per-atom directed neighbor list.
+
+    indices: [N, K] int32, padded with the sentinel N.
+    max_neighbors: [] int32 — the TRUE max neighbor count found; if it
+      exceeds K, neighbors were dropped (check between scan segments, never
+      inside the jitted step).
+    max_cell_occupancy: [] int32 — TRUE max atoms/cell; > cell capacity means
+      the candidate set was truncated.
+    """
+    indices: Array
+    max_neighbors: Array
+    max_cell_occupancy: Array
+
+    def did_overflow(self, capacity: int, cell_capacity: int) -> Array:
+        return ((self.max_neighbors > capacity)
+                | (self.max_cell_occupancy > cell_capacity))
+
+
+def _perpendicular_widths(box: np.ndarray) -> np.ndarray:
+    """Distance between opposite faces of the unit cell along each axis
+    (1 / row-norms of the inverse box)."""
+    inv = np.linalg.inv(np.asarray(box, dtype=np.float64))
+    return 1.0 / np.linalg.norm(inv, axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CellList:
+    """A static cell decomposition bound to one box geometry.
+
+    Build once per system (host-side: cell counts must be static for XLA);
+    call :meth:`build` every time positions change. The box may still be
+    passed per-call with slightly different values (e.g. NPT fluctuations)
+    as long as the cell decomposition stays valid.
+    """
+    cutoff: float
+    ncells: Tuple[int, int, int]
+    capacity: int            # max neighbors per atom (K)
+    cell_capacity: int       # max atoms per cell (C)
+
+    @classmethod
+    def create(cls, box, cutoff: float, capacity: int,
+               cell_capacity: Optional[int] = None,
+               density_estimate: float = 0.1) -> 'CellList':
+        """Size the decomposition for a box. Falls back to a degenerate
+        single-cell list (= all-pairs) when the box is under 3 cells wide
+        along an axis, where the 27-stencil would alias."""
+        widths = _perpendicular_widths(box)
+        ncells = np.maximum(np.floor(widths / cutoff).astype(int), 1)
+        if (ncells < 3).any():
+            ncells = np.array([1, 1, 1])
+        if cell_capacity is None:
+            box_np = np.asarray(box, dtype=np.float64)
+            volume = abs(np.linalg.det(box_np))
+            cell_volume = volume / int(np.prod(ncells))
+            cell_capacity = max(8, int(np.ceil(2.5 * density_estimate * cell_volume)))
+        return cls(cutoff=float(cutoff), ncells=tuple(int(x) for x in ncells),
+                   capacity=int(capacity), cell_capacity=int(cell_capacity))
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.ncells))
+
+    @property
+    def use_cells(self) -> bool:
+        return self.num_cells >= 27
+
+    def _stencil(self) -> np.ndarray:
+        """Flat cell ids of the 27-neighborhood for every cell, [cells, 27]."""
+        nx, ny, nz = self.ncells
+        cx, cy, cz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                                 indexing='ij')
+        offs = np.array(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                    indexing='ij')).reshape(3, 27).T
+        ids = []
+        for ox, oy, oz in offs:
+            ids.append((((cx + ox) % nx) * ny + (cy + oy) % ny) * nz + (cz + oz) % nz)
+        return np.stack(ids, axis=-1).reshape(self.num_cells, 27)
+
+    def build(self, positions: Array, box: Array) -> NeighborList:
+        """Construct the directed neighbor list. Fully jit-able."""
+        n = positions.shape[0]
+        if not self.use_cells:
+            return self._build_dense(positions, box)
+
+        nx, ny, nz = self.ncells
+        ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+        inv = jnp.linalg.inv(box)
+        frac = positions @ inv
+        frac = frac - jnp.floor(frac)
+        cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
+        cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
+
+        # Rank of each atom within its cell via one stable sort.
+        order = jnp.argsort(cell_id, stable=True)
+        sorted_ids = cell_id[order]
+        first = jnp.searchsorted(sorted_ids, sorted_ids, side='left')
+        rank_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+        occupancy = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell_id,
+                                        num_segments=self.num_cells)
+        max_occ = jnp.max(occupancy)
+
+        # Scatter atoms into [cells * C] slots; overflow ranks drop.
+        c = self.cell_capacity
+        slots = jnp.full((self.num_cells * c,), n, dtype=jnp.int32)
+        slot_idx = cell_id * c + rank
+        slot_idx = jnp.where(rank < c, slot_idx, self.num_cells * c)  # drop
+        slots = slots.at[slot_idx].set(jnp.arange(n, dtype=jnp.int32),
+                                       mode='drop')
+        cell_atoms = slots.reshape(self.num_cells, c)
+
+        # Candidates: atoms of the 27 neighboring cells, [N, 27*C].
+        stencil = jnp.asarray(self._stencil())            # [cells, 27]
+        cand = cell_atoms[stencil[cell_id]].reshape(n, 27 * c)
+        in_range = cand < n
+        safe = jnp.where(in_range, cand, 0)
+        delta = positions[safe] - positions[:, None, :]
+        delta = minimum_image(delta, box)
+        d2 = jnp.sum(delta * delta, axis=-1)
+        valid = (in_range & (d2 < self.cutoff * self.cutoff)
+                 & (cand != jnp.arange(n, dtype=jnp.int32)[:, None]))
+
+        counts = jnp.sum(valid.astype(jnp.int32), axis=1)
+        k = self.capacity
+        take = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)[:, :k]
+        kept_valid = jnp.take_along_axis(valid, take, axis=1)
+        kept = jnp.where(kept_valid, jnp.take_along_axis(cand, take, axis=1), n)
+        return NeighborList(kept.astype(jnp.int32), jnp.max(counts), max_occ)
+
+    def _build_dense(self, positions: Array, box: Optional[Array]) -> NeighborList:
+        """Degenerate path: brute-force candidates, same output contract."""
+        n = positions.shape[0]
+        delta = positions[None, :, :] - positions[:, None, :]
+        delta = minimum_image(delta, box)
+        d2 = jnp.sum(delta * delta, axis=-1)
+        eye = jnp.eye(n, dtype=bool)
+        valid = (d2 < self.cutoff * self.cutoff) & jnp.logical_not(eye)
+        counts = jnp.sum(valid.astype(jnp.int32), axis=1)
+        k = min(self.capacity, n)
+        take = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)[:, :k]
+        kept_valid = jnp.take_along_axis(valid, take, axis=1)
+        kept = jnp.where(kept_valid, take, n)
+        return NeighborList(kept.astype(jnp.int32), jnp.max(counts),
+                            jnp.asarray(n, jnp.int32))
+
+
+def neighbor_list_to_pairs(nlist: NeighborList, positions: Array,
+                           box: Optional[Array] = None) -> MaskedPairs:
+    """Derive a masked half pair list (i < j) from a directed neighbor list,
+    for consumers like PME direct space that want per-pair iteration."""
+    n, k = nlist.indices.shape
+    atom1 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
+    atom2 = nlist.indices.reshape(-1)
+    mask = (atom2 < n) & (atom2 > atom1)
+    safe2 = jnp.where(mask, atom2, 0)
+    deltas = positions[atom1] - positions[safe2]
+    if box is not None:
+        deltas = minimum_image(deltas, box)
+    d2 = jnp.sum(deltas * deltas, axis=-1)
+    d2 = jnp.where(mask, d2, 1.0)
+    distances = jnp.where(mask, jnp.sqrt(d2), 0.0)
+    deltas = jnp.where(mask[:, None], deltas, 0.0)
+    count = jnp.sum(mask.astype(jnp.int32))
+    return MaskedPairs(jnp.where(mask, atom1, 0), safe2, deltas, distances,
+                       mask, count)
