@@ -104,6 +104,7 @@ def compute_aev(
     box: Optional[Array] = None,
     neighbors: Optional[Array] = None,
     angular_capacity: Optional[int] = None,
+    centers: Optional[Array] = None,
 ) -> AEV:
     """Compute radial and angular symmetry functions for every atom.
 
@@ -121,9 +122,13 @@ def compute_aev(
         if an atom has more true angular neighbors than the cap, the extra
         contributions are dropped (capacity-overflow contract — callers size
         the cap from the physics like the reference sizes max_num_pairs).
+      centers: optional [Nc] int32 — compute AEVs only for these center atoms
+        (rows of ``neighbors`` then correspond to centers). This is the hook
+        for atom-axis (SP) sharding: each device passes its block of centers
+        with replicated positions. Defaults to all atoms.
 
     Returns:
-      AEV(radial [N, S*R], angular [N, P*A]) matching the reference layout
+      AEV(radial [Nc, S*R], angular [Nc, P*A]) matching the reference layout
       (ANISymmetryFunctions.h:73-76 plus the flattened concatenation of
       SymmetryFunctions.py:120-122).
     """
@@ -131,6 +136,12 @@ def compute_aev(
     s = basis.num_species
     if neighbors is None:
         neighbors = jnp.asarray(dense_neighbor_list(num_atoms))
+    if centers is not None:
+        neighbors = neighbors[centers]
+        center_positions = positions[centers]
+    else:
+        center_positions = positions
+    num_centers = neighbors.shape[0]
     k = neighbors.shape[1]
     k_ang = angular_capacity if angular_capacity is not None else k
     k_ang = min(k_ang, k)
@@ -147,7 +158,7 @@ def compute_aev(
     safe_idx = jnp.where(in_range, neighbors, 0)
     # delta[n, k] points from atom n to its neighbor (pos2 - pos1, matching
     # computeDisplacement at CpuANISymmetryFunctions.cpp:355-359).
-    delta = positions[safe_idx] - positions[:, None, :]
+    delta = positions[safe_idx] - center_positions[:, None, :]
     delta = minimum_image(delta, box)
     r2 = jnp.sum(delta * delta, axis=-1)
 
@@ -218,13 +229,13 @@ def compute_aev(
     angular = jnp.einsum('nta,ntp->npa', tri_term, pair_onehot)
     angular = angular * _pow(2.0, 1.0 - a_zeta)
 
-    return AEV(radial.reshape(num_atoms, -1), angular.reshape(num_atoms, -1))
+    return AEV(radial.reshape(num_centers, -1), angular.reshape(num_centers, -1))
 
 
 def aev_forward(positions, species, basis: ANIBasis, box=None, neighbors=None,
-                angular_capacity=None) -> Array:
+                angular_capacity=None, centers=None) -> Array:
     """Concatenated [N, aev_length] feature matrix (radial || angular),
     the layout consumed by the atomic networks (SymmetryFunctions.py:120-122)."""
     radial, angular = compute_aev(positions, species, basis, box, neighbors,
-                                  angular_capacity)
+                                  angular_capacity, centers)
     return jnp.concatenate([radial, angular], axis=1)

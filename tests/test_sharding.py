@@ -1,0 +1,94 @@
+"""Multi-chip SPMD tests on the virtual 8-device CPU mesh.
+
+Validates that the DP x EP training step and the atom-sharded (SP) inference
+path compile with real shardings, execute, and agree with single-device
+results.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nnpops_tpu.config import ANIBasis
+from nnpops_tpu.models.ani import ANIModel, init_ani_params
+from nnpops_tpu.parallel.sharding import (atom_sharded_energy, init_train_state,
+                                          jit_train_step, make_mesh,
+                                          make_train_step, shard_batch,
+                                          shard_params, TrainState)
+
+BASIS = ANIBasis.from_grids(3, 4.6, 3.1, EtaR=[16.0], ShfR=[1.0, 2.0, 3.0],
+                            EtaA=[8.0], Zeta=[8.0], ShfA=[1.0, 2.0],
+                            ShfZ=[0.5, 1.5])
+Z = [8, 1, 1, 8, 1, 1, 7, 1]   # 8 atoms -> divisible by mesh axes
+
+
+@pytest.fixture(scope='module')
+def setup():
+    assert len(jax.devices()) == 8, 'tests need the virtual 8-device mesh'
+    model = ANIModel.from_atomic_numbers(Z, BASIS, elements=(1, 8, 7))
+    params = init_ani_params(jax.random.PRNGKey(0), BASIS,
+                             layer_dims=((16, 8), (16, 8), (16, 8)),
+                             num_models=4)
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.rand(8, 8, 3).astype(np.float32) * 4)
+    return model, params, batch
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.shape == {'dp': 4, 'mp': 2}
+    mesh = make_mesh(8, model_parallel=4)
+    assert mesh.shape == {'dp': 2, 'mp': 4}
+
+
+def test_train_step_dp_ep(setup):
+    """One training step over the (dp=4, mp=2) mesh: loss decreases and the
+    result matches the unsharded step."""
+    model, params, batch = setup
+    mesh = make_mesh(8, model_parallel=2)
+    opt = optax.sgd(1e-4)
+    e_t = jnp.zeros((8,))
+    f_t = jnp.zeros_like(batch)
+
+    step = jit_train_step(model, opt, mesh)
+    state = init_train_state(model, opt, params, mesh)
+    batch_s, e_s, f_s = shard_batch(mesh, batch, e_t, f_t)
+    new_state, loss = step(state, batch_s, e_s, f_s)
+    _, loss2 = step(new_state, batch_s, e_s, f_s)
+    assert np.isfinite(float(loss))
+    assert float(loss2) < float(loss)   # SGD on a fixed batch reduces the loss
+
+    # Parity with the plain single-device step.
+    plain = make_train_step(model, opt)
+    ps, pl = plain(TrainState(params, opt.init(params)), batch, e_t, f_t)
+    np.testing.assert_allclose(float(loss), float(pl), rtol=1e-5)
+
+
+def test_train_step_force_matching(setup):
+    """Force matching = grad-of-grad through the sharded step."""
+    model, params, batch = setup
+    mesh = make_mesh(8, model_parallel=2)
+    opt = optax.sgd(1e-5)
+    step = jit_train_step(model, opt, mesh, force_weight=0.1)
+    state = init_train_state(model, opt, params, mesh)
+    batch_s, e_s, f_s = shard_batch(mesh, batch, jnp.zeros((8,)), jnp.zeros_like(batch))
+    _, loss = step(state, batch_s, e_s, f_s)
+    assert np.isfinite(float(loss))
+
+
+def test_atom_sharded_energy_matches_dense(setup):
+    """SP path: energy over an 8-way atom-sharded mesh == replicated energy,
+    and forces through the psum match."""
+    model, params, _ = setup
+    mesh = make_mesh(8, model_parallel=1)   # dp axis = 8, used as the atom axis
+    rng = np.random.RandomState(1)
+    pos = jnp.asarray(rng.rand(8, 3).astype(np.float32) * 4)
+    fn = atom_sharded_energy(model, mesh, axis='dp')
+    with jax.sharding.set_mesh(mesh):
+        e_sharded = float(jax.jit(fn)(params, pos))
+        g_sharded = np.asarray(jax.jit(jax.grad(fn, argnums=1))(params, pos))
+    e_ref = float(model.energy(params, pos))
+    g_ref = np.asarray(jax.grad(model.energy, argnums=1)(params, pos))
+    np.testing.assert_allclose(e_sharded, e_ref, rtol=1e-5)
+    np.testing.assert_allclose(g_sharded, g_ref, rtol=1e-4, atol=1e-5)
