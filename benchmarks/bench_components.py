@@ -1,0 +1,190 @@
+"""Component benchmarks mirroring the reference harnesses.
+
+Workloads match the reference benchmark binaries/scripts so numbers are
+comparable like-for-like:
+
+* ``aev`` — ANI-2 basis (7 species, 16 radial x 32 angular, Rcr=5.1, Rca=3.5)
+  compute + backprop per iteration on a molecule or box
+  (BenchmarkCudaANISymmetryFunctions.cu:101-161).
+* ``cfconv`` — width=128, 50 gaussians, cutoff=10 A: 1 neighbor build +
+  6 x (compute+backprop) per iteration (BenchmarkCudaCFConv.cu:63-116).
+* ``batched_nn`` — ANI-2x 8-model ensemble forward and forward+backward on
+  the 46-atom 2iuz ligand workload (BenchmarkBatchedNN.py:45-96).
+* ``pme`` — direct + reciprocal energy + forces on a water box.
+
+Usage: python benchmarks/bench_components.py [aev|cfconv|batched_nn|pme|all]
+       [--molecules N] [--iters N] [--platform cpu|tpu]
+
+Prints one JSON line per benchmark: {"metric", "value", "unit"}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, iters=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3   # ms/it
+
+
+def bench_aev(num_molecules, iters):
+    import jax
+    import jax.numpy as jnp
+    from nnpops_tpu.config import ANIBasis
+    from nnpops_tpu.models.ani import species_from_atomic_numbers
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.ops.aev import aev_forward
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(num_molecules, seed=0)
+    basis = ANIBasis.ani2x()
+    species = jnp.asarray(species_from_atomic_numbers(water.atomic_numbers))
+    box = jnp.asarray(water.box)
+    cl = CellList.create(water.box, basis.radial_cutoff, capacity=96)
+
+    @jax.jit
+    def compute_and_backprop(pos):
+        nlist = cl.build(pos, box)
+
+        def total(p):
+            return jnp.sum(aev_forward(p, species, basis, box=box,
+                                       neighbors=nlist.indices,
+                                       angular_capacity=32))
+        return jax.value_and_grad(total)(pos)
+
+    ms = _timeit(compute_and_backprop, jnp.asarray(water.positions), iters=iters)
+    return {'metric': f'aev_compute_backprop_ms_{num_molecules * 3}atoms',
+            'value': round(ms, 3), 'unit': 'ms/it'}
+
+
+def bench_cfconv(num_atoms, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nnpops_tpu.config import CFConvConfig
+    from nnpops_tpu.models.schnet import CFConvStack
+    from nnpops_tpu.ops.cfconv import build_cfconv_neighbors
+
+    cfg = CFConvConfig(width=128, num_gaussians=50, cutoff=10.0,
+                       gaussian_width=10.0 / 49)
+    stack = CFConvStack(cfg, num_layers=6)
+    params = stack.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    side = (num_atoms / 0.1) ** (1 / 3)
+    pos = jnp.asarray(rng.rand(num_atoms, 3).astype(np.float32) * side)
+    x = jnp.asarray(rng.randn(num_atoms, 128).astype(np.float32))
+
+    @jax.jit
+    def build_and_run(pos, x):
+        nb = build_cfconv_neighbors(pos, cfg.cutoff)
+
+        def total(p, inp):
+            return jnp.sum(stack(params, build_cfconv_neighbors(p, cfg.cutoff), inp))
+        return jax.value_and_grad(total, argnums=(0, 1))(pos, x)
+
+    ms = _timeit(build_and_run, pos, x, iters=iters)
+    return {'metric': f'cfconv_6layer_build_backprop_ms_{num_atoms}atoms',
+            'value': round(ms, 3), 'unit': 'ms/it'}
+
+
+def bench_batched_nn(iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nnpops_tpu.config import ANIBasis
+    from nnpops_tpu.models.ani import ANIModel, init_ani_params
+    from nnpops_tpu.utils.io import load_mol2
+    import os
+
+    basis = ANIBasis.ani2x()
+    mol2 = '/root/reference/src/pytorch/molecules/2iuz_ligand.mol2'
+    if os.path.exists(mol2):
+        mol = load_mol2(mol2)
+        z, pos = mol.atomic_numbers, mol.positions
+    else:
+        rng = np.random.RandomState(0)
+        z = np.tile([6, 1, 1, 7, 8, 1], 8)[:46]
+        pos = rng.rand(46, 3).astype(np.float32) * 8
+    model = ANIModel.from_atomic_numbers(z, basis)
+    params = init_ani_params(jax.random.PRNGKey(0), basis)
+    feat = model.aev(jnp.asarray(pos))
+
+    from nnpops_tpu.ops.batched_nn import ensemble_energy
+    grouping = model.grouping
+    fwd = jax.jit(lambda f: ensemble_energy(params.ensemble, f, grouping))
+    fwd_bwd = jax.jit(jax.value_and_grad(
+        lambda f: ensemble_energy(params.ensemble, f, grouping)))
+    out = []
+    out.append({'metric': 'batched_nn_fwd_ms_2iuz',
+                'value': round(_timeit(fwd, feat, iters=iters), 3), 'unit': 'ms/it'})
+    out.append({'metric': 'batched_nn_fwd_bwd_ms_2iuz',
+                'value': round(_timeit(fwd_bwd, feat, iters=iters), 3), 'unit': 'ms/it'})
+    return out
+
+
+def bench_pme(num_molecules, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nnpops_tpu.ops.pme import PME
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(num_molecules, seed=0)
+    n = len(water.positions)
+    grid = int(2 ** np.ceil(np.log2(water.box[0, 0])))
+    pme = PME(grid, grid, grid, 5, 3.04, 138.935, np.zeros((n, 0), np.int32))
+    box = jnp.asarray(water.box)
+    q = jnp.asarray(water.charges)
+    cutoff = 9.0 if water.box[0, 0] > 18 else float(water.box[0, 0]) / 2 - 0.01
+
+    @jax.jit
+    def energy_forces(pos):
+        def total(p):
+            return (pme.compute_direct(p, q, cutoff, box)
+                    + pme.compute_reciprocal(p, q, box))
+        return jax.value_and_grad(total)(pos)
+
+    ms = _timeit(energy_forces, jnp.asarray(water.positions), iters=iters)
+    return {'metric': f'pme_direct_recip_backprop_ms_{n}atoms',
+            'value': round(ms, 3), 'unit': 'ms/it'}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('which', nargs='?', default='all',
+                        choices=['aev', 'cfconv', 'batched_nn', 'pme', 'all'])
+    parser.add_argument('--molecules', type=int, default=867)
+    parser.add_argument('--atoms', type=int, default=1000)
+    parser.add_argument('--iters', type=int, default=20)
+    parser.add_argument('--platform', default=None, choices=[None, 'cpu', 'tpu'])
+    args = parser.parse_args()
+    if args.platform == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    results = []
+    if args.which in ('aev', 'all'):
+        results.append(bench_aev(args.molecules, args.iters))
+    if args.which in ('cfconv', 'all'):
+        results.append(bench_cfconv(args.atoms, args.iters))
+    if args.which in ('batched_nn', 'all'):
+        results.extend(bench_batched_nn(args.iters))
+    if args.which in ('pme', 'all'):
+        results.append(bench_pme(args.molecules, args.iters))
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == '__main__':
+    main()
