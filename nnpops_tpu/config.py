@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -35,6 +35,13 @@ class ANIBasis:
     angular_zeta: Tuple[float, ...]
     angular_thetas: Tuple[float, ...]
     torchani: bool = True
+    # When the angular functions form a single-eta/zeta product grid
+    # rs x thetas (as in ANI), these record the factor grids; the AEV kernel
+    # then evaluates the [rs] and [thetas] factors separately and combines
+    # them by outer product, cutting per-triple transcendentals ~6x.
+    # Set automatically by from_grids; None disables the factored path.
+    angular_rs_grid: Optional[Tuple[float, ...]] = None
+    angular_thetas_grid: Optional[Tuple[float, ...]] = None
 
     def __post_init__(self):
         n = len(self.radial_eta)
@@ -95,12 +102,17 @@ class ANIBasis:
                         a_rs.append(float(rs))
                         a_zeta.append(float(zeta))
                         a_ts.append(float(ts))
+        grid_kwargs = {}
+        if len(EtaA) == 1 and len(Zeta) == 1:
+            grid_kwargs = dict(
+                angular_rs_grid=tuple(float(x) for x in ShfA),
+                angular_thetas_grid=tuple(float(x) for x in ShfZ))
         return cls(num_species=num_species, radial_cutoff=float(Rcr),
                    angular_cutoff=float(Rca),
                    radial_eta=tuple(r_eta), radial_rs=tuple(r_rs),
                    angular_eta=tuple(a_eta), angular_rs=tuple(a_rs),
                    angular_zeta=tuple(a_zeta), angular_thetas=tuple(a_ts),
-                   torchani=torchani)
+                   torchani=torchani, **grid_kwargs)
 
     @classmethod
     def ani2x(cls, torchani: bool = True) -> 'ANIBasis':

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import minimum_image
+from ..ops.compaction import compact_rows
 from .pairs import MaskedPairs
 
 Array = jnp.ndarray
@@ -154,8 +155,7 @@ class CellList:
 
         counts = jnp.sum(valid.astype(jnp.int32), axis=1)
         k = self.capacity
-        take = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)[:, :k]
-        kept_valid = jnp.take_along_axis(valid, take, axis=1)
+        take, kept_valid = compact_rows(valid, k)
         kept = jnp.where(kept_valid, jnp.take_along_axis(cand, take, axis=1), n)
         return NeighborList(kept.astype(jnp.int32), jnp.max(counts), max_occ)
 
@@ -169,8 +169,7 @@ class CellList:
         valid = (d2 < self.cutoff * self.cutoff) & jnp.logical_not(eye)
         counts = jnp.sum(valid.astype(jnp.int32), axis=1)
         k = min(self.capacity, n)
-        take = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)[:, :k]
-        kept_valid = jnp.take_along_axis(valid, take, axis=1)
+        take, kept_valid = compact_rows(valid, k)
         kept = jnp.where(kept_valid, take, n)
         return NeighborList(kept.astype(jnp.int32), jnp.max(counts),
                             jnp.asarray(n, jnp.int32))

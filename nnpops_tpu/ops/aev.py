@@ -30,6 +30,7 @@ import numpy as np
 
 from ..config import ANIBasis
 from ..geometry import cosine_cutoff, minimum_image
+from .compaction import compact_rows
 
 Array = jnp.ndarray
 
@@ -68,27 +69,6 @@ def dense_neighbor_list(num_atoms: int) -> np.ndarray:
     full = np.broadcast_to(idx, (n, n))
     mask = full != idx[:, None]
     return full[mask].reshape(n, n - 1).copy()
-
-
-def _angle(dot: Array, cross_sq: Array, r1r2: Array, torchani: bool) -> Array:
-    """The interior angle between two displacement vectors.
-
-    TorchANI mode: ``acos(0.95 * dot / (r1*r2))`` (CpuANISymmetryFunctions
-    .cpp:392-394 — the 0.95 factor both mimics TorchANI and keeps acos away
-    from its singularity).
-
-    Publication mode: the reference switches between acos and a cross-product
-    asin near |cos| ~ 1 (:396-404). We use the equivalent single-expression
-    ``atan2(|v1 x v2|, v1 . v2)``, which is exact for all angles and has the
-    same stability property, with an epsilon guard on the norm so jax.grad
-    stays finite at exactly-collinear triples.
-    """
-    if torchani:
-        cosine = jnp.clip(0.95 * dot / r1r2, -1.0, 1.0)
-        return jnp.arccos(cosine)
-    eps = jnp.asarray(1e-12, dot.dtype)
-    cross = jnp.sqrt(jnp.maximum(cross_sq, eps))
-    return jnp.arctan2(cross, dot)
 
 
 def _pow(base: Array, exponent: Array) -> Array:
@@ -180,13 +160,14 @@ def compute_aev(
         radial = radial * 0.25
 
     # ---- Angular block. Compact each atom's angular-cutoff neighbors to the
-    # front of a K_ang slot list (stable, deterministic).
+    # front of a K_ang slot list (stable, deterministic; prefix-sum + binary
+    # search instead of a TPU-hostile sort, see ops/compaction.py).
     valid_a = in_range & (r2 < ra * ra)
     if k_ang < k:
-        order = jnp.argsort(jnp.logical_not(valid_a), axis=1, stable=True)[:, :k_ang]
-        ang_idx = jnp.take_along_axis(safe_idx, order, axis=1)
-        ang_valid = jnp.take_along_axis(valid_a, order, axis=1)
-        ang_delta = jnp.take_along_axis(delta, order[..., None], axis=1)
+        take, kept = compact_rows(valid_a, k_ang)
+        ang_idx = jnp.take_along_axis(safe_idx, take, axis=1)
+        ang_valid = kept
+        ang_delta = jnp.take_along_axis(delta, take[..., None], axis=1)
     else:
         ang_idx, ang_valid, ang_delta = safe_idx, valid_a, delta
 
@@ -205,17 +186,51 @@ def compute_aev(
     r2_ = jnp.sqrt(safe2)
     dot = jnp.sum(d1 * d2, axis=-1)
     dot = jnp.where(tri_valid, dot, 0.0)
-    cross = jnp.cross(d1, d2)
-    cross_sq = jnp.sum(cross * cross, axis=-1)
-    cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
-    theta = _angle(dot, cross_sq, r1 * r2_, basis.torchani)
+
+    # The angle enters only through cos(theta - ts). Work directly with
+    # (cos theta, sin theta) and the addition formula — no acos/atan2 at all:
+    # TorchANI mode defines theta = acos(0.95 * cos) (CpuANISymmetryFunctions
+    # .cpp:392-394), i.e. cos theta = 0.95*dot/(r1*r2), sin theta =
+    # sqrt(1 - cos^2) (>= 0.31, gradient-safe); publication mode uses the
+    # exact angle, cos = dot/(r1*r2), sin = |cross|/(r1*r2) (eps-guarded).
+    r1r2 = r1 * r2_
+    if basis.torchani:
+        cos_t = jnp.clip(0.95 * dot / r1r2, -0.95, 0.95)
+        sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+    else:
+        cos_t = dot / r1r2
+        cross = jnp.cross(d1, d2)
+        cross_sq = jnp.sum(cross * cross, axis=-1)
+        cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
+        eps = jnp.asarray(1e-12, dtype)
+        sin_t = jnp.sqrt(jnp.maximum(cross_sq, eps)) / r1r2
 
     r_mean = 0.5 * (r1 + r2_)
     fc2 = cosine_cutoff(r1, ra) * cosine_cutoff(r2_, ra)
-    cos_term = _pow(1.0 + jnp.cos(theta[..., None] - a_ts), a_zeta)   # [N, T, A]
-    shifted_a = r_mean[..., None] - a_rs
-    exp_term = jnp.exp(-a_eta * shifted_a * shifted_a)
-    tri_term = fc2[..., None] * cos_term * exp_term
+    if basis.angular_rs_grid is not None:
+        # Factored product-grid path (single eta/zeta): evaluate the Z
+        # theta-shift factors and the R radial-shift factors separately and
+        # combine by outer product — ~6x fewer transcendentals per triple
+        # than the flat path, and the flat [N,T,A] intermediate shrinks to
+        # [N,T,Z] + [N,T,R]. Layout matches from_grids (rs-major, then ts).
+        ts_grid = jnp.asarray(basis.angular_thetas_grid, dtype)
+        rs_grid = jnp.asarray(basis.angular_rs_grid, dtype)
+        zeta0 = basis.angular_zeta[0]
+        eta0 = basis.angular_eta[0]
+        cos_tm = (cos_t[..., None] * jnp.cos(ts_grid)
+                  + sin_t[..., None] * jnp.sin(ts_grid))          # [N, T, Z]
+        cos_pow = _pow(1.0 + cos_tm, zeta0)
+        shifted_a = r_mean[..., None] - rs_grid                   # [N, T, R]
+        exp_term = fc2[..., None] * jnp.exp(-eta0 * shifted_a * shifted_a)
+        tri_term = (exp_term[..., :, None] * cos_pow[..., None, :]).reshape(
+            *cos_t.shape, len(basis.angular_rs_grid) * len(basis.angular_thetas_grid))
+    else:
+        # Flat path: arbitrary per-function (eta, rs, zeta, thetas).
+        cos_tm = cos_t[..., None] * jnp.cos(a_ts) + sin_t[..., None] * jnp.sin(a_ts)
+        cos_term = _pow(1.0 + cos_tm, a_zeta)                     # [N, T, A]
+        shifted_a = r_mean[..., None] - a_rs
+        exp_term = jnp.exp(-a_eta * shifted_a * shifted_a)
+        tri_term = fc2[..., None] * cos_term * exp_term
     tri_term = jnp.where(tri_valid[..., None], tri_term, 0.0)
 
     # Unordered-species-pair one-hot: [N, T, P] (MXU contraction partner).
