@@ -247,6 +247,146 @@ def compute_aev(
     return AEV(radial.reshape(num_centers, -1), angular.reshape(num_centers, -1))
 
 
+def _pair_onehot_from_species(oh1: Array, oh2: Array, num_species: int) -> Array:
+    """Unordered-species-pair one-hot from two per-side species one-hots.
+
+    oh1/oh2: [..., S] -> [..., P], P = S(S+1)/2, in the reference's pair
+    enumeration (CpuANISymmetryFunctions.cpp:39-43). Built from fused
+    elementwise products — replaces the [N, T] table-lookup gather, which is
+    catastrophically slow on TPU (fine gathers cost ~a row per cycle).
+    """
+    table = species_pair_index(num_species)
+    cols = []
+    for s1 in range(num_species):
+        for s2 in range(s1, num_species):
+            if s1 == s2:
+                cols.append(oh1[..., s1] * oh2[..., s1])
+            else:
+                cols.append(oh1[..., s1] * oh2[..., s2]
+                            + oh1[..., s2] * oh2[..., s1])
+    # Columns are produced in (s1 <= s2) order == pair-index order.
+    del table
+    return jnp.stack(cols, axis=-1)
+
+
+def _selection_matrix(idx: np.ndarray, k: int, dtype) -> Array:
+    """Constant 0/1 matrix S with S[t, idx[t]] = 1 — static reindexing
+    expressed as an MXU matmul instead of a gather."""
+    sel = np.zeros((len(idx), k), dtype=np.float32)
+    sel[np.arange(len(idx)), idx] = 1.0
+    return jnp.asarray(sel, dtype)
+
+
+def compute_aev_from_payload(payload, basis: ANIBasis,
+                             angular_capacity: int) -> AEV:
+    """Gather-free AEV from a payload-carrying neighbor list.
+
+    ``payload`` is a ``CellList.build_payload`` result whose features are the
+    per-neighbor species one-hot [N, K, S]. Everything the angular block
+    needs is re-expressed without dynamic indexing: compaction to K_ang is a
+    payload-carrying sort, triple expansion uses constant selection matmuls,
+    and the species-pair index is a product of one-hots. Same math as
+    :func:`compute_aev` (golden-tested against it).
+    """
+    deltas, r, onehot, mask = (payload.deltas, payload.distances,
+                               payload.features, payload.mask)
+    n, k = r.shape
+    s = basis.num_species
+    dtype = deltas.dtype
+    rc, ra = basis.radial_cutoff, basis.angular_cutoff
+
+    r_eta = jnp.asarray(basis.radial_eta, dtype)
+    r_rs = jnp.asarray(basis.radial_rs, dtype)
+
+    # ---- Radial block (payload mask is exactly the radial-cutoff mask).
+    safe_r = jnp.where(mask, r, 1.0)
+    fc = cosine_cutoff(safe_r, rc)
+    shifted = safe_r[..., None] - r_rs
+    radial_pair = fc[..., None] * jnp.exp(-r_eta * shifted * shifted)
+    radial_pair = jnp.where(mask[..., None], radial_pair, 0.0)
+    radial = jnp.einsum('nkr,nks->nsr', radial_pair, onehot * mask[..., None])
+    if basis.torchani:
+        radial = radial * 0.25
+
+    # ---- Angular block: compaction to K_ang. Sort only a stop_gradient key
+    # with a position index (a differentiable sort's VJP transposes the whole
+    # sorting network — catastrophic), then fetch the payload with one
+    # take_along_axis whose VJP is a single scatter.
+    k_ang = min(angular_capacity, k)
+    valid_a = mask & (r < ra)
+    key = jnp.where(valid_a, jax.lax.stop_gradient(r), jnp.inf)
+    iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], key.shape)
+    key_s, src = jax.lax.sort([key, iota.astype(jnp.float32)],
+                              dimension=1, num_keys=1)
+    ang_valid = jnp.isfinite(key_s[:, :k_ang])
+    take = src[:, :k_ang].astype(jnp.int32)
+    ang_delta = jnp.take_along_axis(deltas, take[..., None], axis=1)
+    ang_delta = jnp.where(ang_valid[..., None], ang_delta, 0.0)
+    ang_oh = jnp.take_along_axis(onehot, take[..., None], axis=1)
+    ang_oh = jnp.where(ang_valid[..., None], ang_oh, 0.0)
+    r_a = jnp.take_along_axis(r, take, axis=1)
+    r_a = jnp.where(ang_valid, r_a, 1.0)
+
+    jj, kk = np.triu_indices(k_ang, k=1)
+    sel_j = _selection_matrix(jj, k_ang, dtype)     # [T, K_ang]
+    sel_k = _selection_matrix(kk, k_ang, dtype)
+    d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta)
+    d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta)
+    r1 = jnp.einsum('tk,nk->nt', sel_j, r_a)
+    r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a)
+    v1 = jnp.einsum('tk,nk->nt', sel_j, ang_valid.astype(dtype))
+    v2 = jnp.einsum('tk,nk->nt', sel_k, ang_valid.astype(dtype))
+    tri_valid = (v1 * v2) > 0.5
+    oh1 = jnp.einsum('tk,nks->nts', sel_j, ang_oh)
+    oh2 = jnp.einsum('tk,nks->nts', sel_k, ang_oh)
+
+    dot = jnp.sum(d1 * d2, axis=-1)
+    dot = jnp.where(tri_valid, dot, 0.0)
+    r1r2 = r1 * r2_
+    if basis.torchani:
+        cos_t = jnp.clip(0.95 * dot / r1r2, -0.95, 0.95)
+        sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+    else:
+        cos_t = dot / r1r2
+        cross = jnp.cross(d1, d2)
+        cross_sq = jnp.sum(cross * cross, axis=-1)
+        cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(cross_sq, jnp.asarray(1e-12, dtype))) / r1r2
+
+    r_mean = 0.5 * (r1 + r2_)
+    fc2 = cosine_cutoff(r1, ra) * cosine_cutoff(r2_, ra)
+    if basis.angular_rs_grid is not None:
+        ts_grid = jnp.asarray(basis.angular_thetas_grid, dtype)
+        rs_grid = jnp.asarray(basis.angular_rs_grid, dtype)
+        zeta0 = basis.angular_zeta[0]
+        eta0 = basis.angular_eta[0]
+        cos_tm = (cos_t[..., None] * jnp.cos(ts_grid)
+                  + sin_t[..., None] * jnp.sin(ts_grid))
+        cos_pow = _pow(1.0 + cos_tm, zeta0)
+        shifted_a = r_mean[..., None] - rs_grid
+        exp_term = fc2[..., None] * jnp.exp(-eta0 * shifted_a * shifted_a)
+        tri_term = (exp_term[..., :, None] * cos_pow[..., None, :]).reshape(
+            n, -1, len(basis.angular_rs_grid) * len(basis.angular_thetas_grid))
+    else:
+        a_eta = jnp.asarray(basis.angular_eta, dtype)
+        a_rs = jnp.asarray(basis.angular_rs, dtype)
+        a_zeta = jnp.asarray(basis.angular_zeta, dtype)
+        a_ts = jnp.asarray(basis.angular_thetas, dtype)
+        cos_tm = cos_t[..., None] * jnp.cos(a_ts) + sin_t[..., None] * jnp.sin(a_ts)
+        cos_term = _pow(1.0 + cos_tm, a_zeta)
+        shifted_a = r_mean[..., None] - a_rs
+        tri_term = fc2[..., None] * cos_term * jnp.exp(-a_eta * shifted_a * shifted_a)
+    tri_term = jnp.where(tri_valid[..., None], tri_term, 0.0)
+
+    pair_onehot = _pair_onehot_from_species(oh1, oh2, s)
+    pair_onehot = pair_onehot * tri_valid[..., None]
+    angular = jnp.einsum('nta,ntp->npa', tri_term, pair_onehot)
+    a_zeta_full = jnp.asarray(basis.angular_zeta, dtype)
+    angular = angular * _pow(2.0, 1.0 - a_zeta_full)
+
+    return AEV(radial.reshape(n, -1), angular.reshape(n, -1))
+
+
 def aev_forward(positions, species, basis: ANIBasis, box=None, neighbors=None,
                 angular_capacity=None, centers=None) -> Array:
     """Concatenated [N, aev_length] feature matrix (radial || angular),
