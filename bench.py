@@ -41,9 +41,7 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
     @jax.jit
     def run(params, positions):
         def step(pos, _):
-            nlist = cell_list.build(pos, box)
-            e, f = model.energy_and_forces(params, pos, box=box,
-                                           neighbors=nlist.indices)
+            e, f = model.energy_and_forces_fused(params, pos, box, cell_list)
             # Nudge along the forces: keeps every step data-dependent (no CSE)
             # and mimics an integrator update without thermostat noise.
             return pos + 1e-6 * f, e
