@@ -81,13 +81,34 @@ def pair_filters(params: CFConvParams, distances: Array, mask: Array,
     """The per-pair filter y2 [P, width]: gaussians -> dense -> activation ->
     dense -> cosine cutoff (CpuCFConv.cpp:151-178)."""
     centers = jnp.asarray(config.gaussian_positions)
-    x = (distances[:, None] - centers) / config.gaussian_width
-    gauss = jnp.exp(-0.5 * x * x)                                     # [P, G]
+    x = (distances[..., None] - centers) / config.gaussian_width
+    gauss = jnp.exp(-0.5 * x * x)                                     # [..., G]
     h = jnp.dot(gauss, params.w1, preferred_element_type=jnp.float32) + params.b1
     h = shifted_softplus(h) if config.activation == 'ssp' else jnp.tanh(h)
     y = jnp.dot(h, params.w2, preferred_element_type=jnp.float32) + params.b2
-    y = y * cosine_cutoff(distances, config.cutoff)[:, None]
-    return jnp.where(mask[:, None], y, 0.0)
+    y = y * cosine_cutoff(distances, config.cutoff)[..., None]
+    return jnp.where(mask[..., None], y, 0.0)
+
+
+def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
+                        config: CFConvConfig) -> Array:
+    """CFConv over a directed per-atom neighbor payload (CellList.build_payload).
+
+    O(N) alternative to the half-pair-list path for large periodic systems
+    (the reference's CFConv neighbor search is O(N^2) and its binding
+    hardcodes periodic=false, CFConv.cpp:131). The directed list covers both
+    directions of every pair, so the symmetric accumulation of
+    CpuCFConv.cpp:182-185 is a plain per-atom masked sum; neighbor input
+    vectors are fetched with one [N, K] gather per layer (the only dynamic
+    indexing left — the geometry rides in the payload).
+    """
+    n, k = payload.distances.shape
+    y2 = pair_filters(params, jnp.where(payload.mask, payload.distances, 0.0),
+                      payload.mask, config)                  # [N, K, W]
+    inputs_pad = jnp.concatenate([inputs, jnp.zeros((1, inputs.shape[1]),
+                                                    inputs.dtype)])
+    x_nbr = inputs_pad[jnp.where(payload.mask, payload.indices, n)]
+    return jnp.sum(y2 * x_nbr, axis=1)
 
 
 def cfconv(params: CFConvParams, neighbors: MaskedPairs, inputs: Array,

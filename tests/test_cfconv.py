@@ -107,3 +107,31 @@ def test_capacity_mode_matches_all_pairs(golden_cfconv):
     capped = cfconv(params, build_cfconv_neighbors(positions, config.cutoff,
                                                    max_num_pairs=40), x, config)
     np.testing.assert_allclose(np.asarray(full), np.asarray(capped), rtol=1e-5, atol=1e-6)
+
+
+def test_payload_path_matches_pairs(golden_cfconv):
+    """cfconv_from_payload (O(N) cell-list path) == half-pair-list path."""
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.ops.cfconv import cfconv_from_payload
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(300, seed=4)
+    cfg = CFConvConfig(width=8, num_gaussians=5, cutoff=4.0, gaussian_width=0.5)
+    params = CFConvParams.from_reference_layout(
+        golden_cfconv['w1'], golden_cfconv['b1'],
+        golden_cfconv['w2'], golden_cfconv['b2'])
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(len(water.positions), 8).astype(np.float32))
+
+    ref = cfconv(params, build_cfconv_neighbors(pos, cfg.cutoff, box), x, cfg)
+    cl = CellList.create(water.box, cfg.cutoff, capacity=64)
+    payload = cl.build_payload(pos, box)
+    got = cfconv_from_payload(params, payload, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # And gradients flow to positions through the payload.
+    g = jax.grad(lambda p: jnp.sum(
+        cfconv_from_payload(params, cl.build_payload(p, box), x, cfg)))(pos)
+    assert np.isfinite(np.asarray(g)).all()
