@@ -22,7 +22,8 @@ import time
 
 
 def build_scan_bench(num_molecules: int, steps_per_call: int,
-                     angular_capacity: int = 32, capacity: int = 96):
+                     angular_capacity: int = 32, capacity: int = 128,
+                     skin: float = 0.8, refresh_every: int = 5):
     import jax
     import jax.numpy as jnp
     from nnpops_tpu.config import ANIBasis
@@ -36,20 +37,30 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
                                          angular_capacity=angular_capacity)
     params = init_ani_params(jax.random.PRNGKey(0), basis)
     box = jnp.asarray(water.box)
-    cell_list = CellList.create(water.box, basis.radial_cutoff, capacity=capacity)
+    # Verlet skin: the selection (cell assignment + compaction) is refreshed
+    # every `refresh_every` steps and reused in between — the standard MD
+    # amortization every production engine uses.
+    cell_list = CellList.create(water.box, basis.radial_cutoff + skin,
+                                capacity=capacity)
+    blocks = max(1, steps_per_call // refresh_every)
 
     @jax.jit
     def run(params, positions):
-        def step(pos, _):
-            e, f = model.energy_and_forces_fused(params, pos, box, cell_list)
-            # Nudge along the forces: keeps every step data-dependent (no CSE)
-            # and mimics an integrator update without thermostat noise.
-            return pos + 1e-6 * f, e
-        final, energies = jax.lax.scan(step, positions, None,
-                                       length=steps_per_call)
+        def block(pos, _):
+            sel = cell_list.select(pos, box)
+
+            def step(pos, _):
+                e, f = model.energy_and_forces_from_selection(
+                    params, pos, box, cell_list, sel)
+                # Nudge along the forces: keeps every step data-dependent
+                # (no CSE) and mimics an integrator update without noise.
+                return pos + 1e-6 * f, e
+            pos, energies = jax.lax.scan(step, pos, None, length=refresh_every)
+            return pos, energies
+        final, energies = jax.lax.scan(block, positions, None, length=blocks)
         return final, energies
 
-    return run, params, jnp.asarray(water.positions)
+    return run, params, jnp.asarray(water.positions), blocks * refresh_every
 
 
 def main():
@@ -73,14 +84,15 @@ def main():
 
     for num_mol, metric in candidates:
         try:
-            run, params, positions = build_scan_bench(num_mol, args.steps)
+            run, params, positions, true_steps = build_scan_bench(num_mol,
+                                                                  args.steps)
             final, energies = run(params, positions)       # compile + warmup
             jax.block_until_ready(final)
             t0 = time.perf_counter()
             for _ in range(args.calls):
                 final, energies = run(params, positions)
             jax.block_until_ready(final)
-            us = (time.perf_counter() - t0) / (args.calls * args.steps) * 1e6
+            us = (time.perf_counter() - t0) / (args.calls * true_steps) * 1e6
             print(json.dumps({'metric': metric, 'value': round(us, 1),
                               'unit': 'us/step',
                               'vs_baseline': round(target_us / us, 4)}))

@@ -81,6 +81,42 @@ def velocity_verlet(force_fn: ForceFn, masses: Array, dt: float) -> Callable[[MD
     return step
 
 
+def run_md_sticky(select_fn: Callable, force_fn_of_sel: Callable,
+                  integrator_factory: Callable, state: MDState,
+                  num_steps: int, refresh_every: int):
+    """Slot-sticky (Verlet-list) MD: refresh the neighbor selection every
+    ``refresh_every`` steps, reuse it in between.
+
+    The expensive discrete phase (cell assignment, sorting, compaction —
+    ``CellList.select``) runs once per block; each step only re-scatters
+    positions into the frozen slots (``payload_from_selection``). Valid while
+    no atom moves more than skin/2 per block — build the CellList with
+    ``cutoff + skin``.
+
+    Args:
+      select_fn: positions -> selection (e.g. ``cell_list.select(p, box)``).
+      force_fn_of_sel: (selection, positions) -> (energy, forces).
+      integrator_factory: force_fn -> one-step function (e.g.
+        ``lambda ff: langevin_baoab(ff, masses, dt, friction, kT)``).
+      state: initial MDState.
+      num_steps: total steps (a multiple of refresh_every).
+      refresh_every: steps per selection refresh.
+
+    Returns: (final_state, per-block energies).
+    """
+    def block(state, _):
+        sel = select_fn(state.positions)
+        force_fn = lambda pos: force_fn_of_sel(sel, pos)
+        step = integrator_factory(force_fn)
+        energy, forces = force_fn(state.positions)
+        state = state._replace(energy=energy, forces=forces)
+        state = jax.lax.fori_loop(0, refresh_every, lambda _, s: step(s), state)
+        return state, state.energy
+
+    num_blocks = num_steps // refresh_every
+    return jax.lax.scan(block, state, None, length=num_blocks)
+
+
 def kinetic_energy(state: MDState, masses: Array) -> Array:
     return 0.5 * jnp.sum(masses[:, None] * state.velocities ** 2)
 

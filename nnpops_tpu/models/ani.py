@@ -148,3 +148,26 @@ class ANIModel:
         e, grad = jax.value_and_grad(self.energy_fused, argnums=1)(
             params, positions, box, cell_list)
         return e, -grad
+
+    def energy_from_selection(self, params: ANIParams, positions: Array,
+                              box: Array, cell_list, sel) -> Array:
+        """Energy against a frozen neighbor selection (slot-sticky stepping):
+        only the differentiable payload phase runs — build the cell list with
+        cutoff + skin and refresh ``sel`` every few steps
+        (md.run_md_sticky)."""
+        from ..ops.aev import compute_aev_from_payload
+        payload = cell_list.payload_from_selection(
+            positions, box, sel, jnp.asarray(self.species_onehot))
+        cap = self.angular_capacity or cell_list.capacity
+        radial, angular = compute_aev_from_payload(payload, self.basis, cap)
+        feat = jnp.concatenate([radial, angular], axis=1)
+        e_nn = ensemble_energy(params.ensemble, feat, self.grouping)
+        sae = jnp.sum(params.self_energies[jnp.asarray(self.species_array)])
+        return e_nn + sae
+
+    def energy_and_forces_from_selection(self, params: ANIParams,
+                                         positions: Array, box: Array,
+                                         cell_list, sel) -> Tuple[Array, Array]:
+        e, grad = jax.value_and_grad(self.energy_from_selection, argnums=1)(
+            params, positions, box, cell_list, sel)
+        return e, -grad

@@ -49,6 +49,24 @@ class NeighborPayload(NamedTuple):
                 | (self.max_cell_occupancy > cell_capacity))
 
 
+class SlotSelection(NamedTuple):
+    """A frozen neighbor selection in cell-slot space (all integer/static).
+
+    Produced by :meth:`CellList.select`; consumed by
+    :meth:`CellList.payload_from_selection`. Reusable across MD steps while
+    no atom has moved more than half the skin since the selection was built
+    (build the CellList with ``cutoff + skin``) — the Verlet-list contract.
+    """
+    order: Array           # [N] sorted-by-cell atom order at freeze time
+    slot_of_sorted: Array  # [N] slot id per sorted atom (cc = dropped)
+    atom_slot: Array       # [N] slot id per atom in ORIGINAL order
+    slot_to_atom: Array    # [cc+1] original atom id per slot (N = empty)
+    nbr_slot_k: Array      # [rows, K] compacted neighbor slot ids (cc = pad)
+    mask_slot: Array       # [rows, K] valid-pair mask at freeze time
+    max_neighbors: Array
+    max_cell_occupancy: Array
+
+
 class NeighborList(NamedTuple):
     """Per-atom directed neighbor list.
 
@@ -214,11 +232,19 @@ class CellList:
         (reported via max_neighbors / max_cell_occupancy) the result is
         incomplete — same soft-failure contract as getNeighborPairs.
         """
-        n = positions.shape[0]
-        num_feat = 0 if features is None else features.shape[1]
         if not self.use_cells:
             return self._payload_dense(positions, box, features)
+        sel = self.select(positions, box)
+        return self.payload_from_selection(positions, box, sel, features)
 
+    def select(self, positions: Array, box: Array) -> SlotSelection:
+        """The non-differentiable selection phase: cell assignment, slot
+        packing and sorted compaction to K. Everything runs under
+        stop_gradient — selection is a discrete choice; gradients flow only
+        through the payload phase. Freeze once, reuse for many steps."""
+        positions = jax.lax.stop_gradient(positions)
+        box = jax.lax.stop_gradient(box)
+        n = positions.shape[0]
         nx, ny, nz = self.ncells
         ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
         inv = jnp.linalg.inv(box)
@@ -240,36 +266,27 @@ class CellList:
                                         num_segments=self.num_cells)
         max_occ = jnp.max(occupancy)
 
-        # Pack [pos(3) | features(F) | present(1)] into cell slots.
         c = self.cell_capacity
         cc = self.num_cells * c
-        parts = [positions[order]]
-        if features is not None:
-            parts.append(features[order])
-        parts.append(jnp.ones((n, 1), positions.dtype))
-        packed = jnp.concatenate(parts, axis=1)                # [N, W]
-        width = packed.shape[1]
         slot_of_sorted = jnp.where(rank_sorted < c,
                                    sorted_ids * c + rank_sorted, cc)
-        slots = jnp.zeros((cc, width), positions.dtype)
-        slots = slots.at[slot_of_sorted].set(packed, mode='drop')
+        pos_slots = jnp.zeros((cc, 3), positions.dtype)
+        pos_slots = pos_slots.at[slot_of_sorted].set(positions[order], mode='drop')
+        present = jnp.zeros((cc,), bool).at[slot_of_sorted].set(True, mode='drop')
 
-        # Selection (all non-differentiable): candidate slot ids from the
-        # stencil, distances as sort key under stop_gradient.
         stencil = jnp.asarray(self._stencil())                 # [cells, 27]
         kk = 27 * c
         cand_slot = (stencil[:, :, None] * c
                      + jnp.arange(c, dtype=jnp.int32)).reshape(self.num_cells, kk)
-        pos_sg = jax.lax.stop_gradient(slots[:, :3]).reshape(self.num_cells, c, 3)
-        cand_pos_sg = pos_sg.reshape(cc, 3)[cand_slot.reshape(-1)].reshape(
-            self.num_cells, kk, 3)                             # coarse-ish gather
-        delta_sg = cand_pos_sg[:, None, :, :] - pos_sg[:, :, None, :]
-        delta_sg = minimum_image(delta_sg, jax.lax.stop_gradient(box))
-        d2 = jnp.sum(delta_sg * delta_sg, axis=-1)             # [cells, C, kk]
-        present = (slots[:, width - 1] > 0)
-        present_cand = present[cand_slot]                      # [cells, kk]
+        cand_pos = pos_slots[cand_slot.reshape(-1)].reshape(
+            self.num_cells, kk, 3)
+        delta = (cand_pos[:, None, :, :]
+                 - pos_slots.reshape(self.num_cells, c, 3)[:, :, None, :])
+        delta = minimum_image(delta, box)
+        d2 = jnp.sum(delta * delta, axis=-1)                   # [cells, C, kk]
+        present_cand = present[cand_slot]
         own_slot = (jnp.arange(self.num_cells, dtype=jnp.int32)[:, None] * c
-                    + jnp.arange(c, dtype=jnp.int32))          # [cells, C]
+                    + jnp.arange(c, dtype=jnp.int32))
         not_self = cand_slot[:, None, :] != own_slot[:, :, None]
         valid = (present[own_slot][:, :, None] & present_cand[:, None, :]
                  & (d2 < self.cutoff * self.cutoff) & not_self)
@@ -282,39 +299,64 @@ class CellList:
         key_s, nbr_slot = jax.lax.sort([key, cand_rows.astype(jnp.float32)],
                                        dimension=1, num_keys=1)
         k = self.capacity
-        mask_slot = jnp.isfinite(key_s[:, :k])                 # [rows, K]
+        mask_slot = jnp.isfinite(key_s[:, :k])
         nbr_slot_k = jnp.where(mask_slot, nbr_slot[:, :k].astype(jnp.int32), cc)
 
-        # ONE differentiable packed gather of the compacted neighbors.
-        slots_pad = jnp.concatenate([slots, jnp.zeros((1, width), slots.dtype)])
-        nbr_payload = slots_pad[nbr_slot_k.reshape(-1)].reshape(rows, k, width)
-
-        # Deltas recomputed from the differentiable payload positions.
-        center = slots[:, :3][:, None, :]                      # [rows, 1, 3]
-        deltas = minimum_image(nbr_payload[..., :3] - center, box)
-        deltas = jnp.where(mask_slot[..., None], deltas, 0.0)
-        dist = jnp.sqrt(jnp.where(mask_slot,
-                                  jnp.sum(deltas * deltas, axis=-1), 1.0))
-        dist = jnp.where(mask_slot, dist, 0.0)
-        feats = (nbr_payload[..., 3:3 + num_feat] if features is not None
-                 else None)
-
-        # Back to original atom order: coarse row gathers of K-wide rows.
         atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(
             slot_of_sorted.astype(jnp.int32), mode='drop')
         slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
         slot_to_atom = slot_to_atom.at[slot_of_sorted].set(
-            idx_n[order] if False else order.astype(jnp.int32), mode='drop')
-        deltas_atom = deltas[atom_slot]
-        mask_atom = mask_slot[atom_slot]
+            order.astype(jnp.int32), mode='drop')
+        return SlotSelection(order=order.astype(jnp.int32),
+                             slot_of_sorted=slot_of_sorted.astype(jnp.int32),
+                             atom_slot=atom_slot, slot_to_atom=slot_to_atom,
+                             nbr_slot_k=nbr_slot_k, mask_slot=mask_slot,
+                             max_neighbors=jnp.max(counts),
+                             max_cell_occupancy=max_occ)
+
+    def payload_from_selection(self, positions: Array, box: Array,
+                               sel: SlotSelection,
+                               features: Optional[Array] = None,
+                               ) -> 'NeighborPayload':
+        """The differentiable payload phase: re-scatter current positions
+        (+features) into the frozen slots, fetch the compacted neighbors with
+        one packed gather, recompute deltas/distances. This is the only part
+        that runs every MD step under slot-sticky (Verlet-skin) stepping."""
+        n = positions.shape[0]
+        num_feat = 0 if features is None else features.shape[1]
+        c = self.cell_capacity
+        cc = self.num_cells * c
+        k = self.capacity
+
+        parts = [positions[sel.order]]
+        if features is not None:
+            parts.append(features[sel.order])
+        packed = jnp.concatenate(parts, axis=1)                # [N, W]
+        width = packed.shape[1]
+        slots = jnp.zeros((cc + 1, width), positions.dtype)
+        slots = slots.at[sel.slot_of_sorted].set(packed, mode='drop')
+
+        rows = cc
+        nbr_payload = slots[sel.nbr_slot_k.reshape(-1)].reshape(rows, k, width)
+        center = slots[:cc, :3][:, None, :]
+        deltas = minimum_image(nbr_payload[..., :3] - center, box)
+        deltas = jnp.where(sel.mask_slot[..., None], deltas, 0.0)
+        dist = jnp.sqrt(jnp.where(sel.mask_slot,
+                                  jnp.sum(deltas * deltas, axis=-1), 1.0))
+        dist = jnp.where(sel.mask_slot, dist, 0.0)
+
+        deltas_atom = deltas[sel.atom_slot]
+        mask_atom = sel.mask_slot[sel.atom_slot]
+        feats_atom = (nbr_payload[..., 3:3 + num_feat][sel.atom_slot]
+                      if features is not None else None)
         return NeighborPayload(
             deltas=deltas_atom,
-            distances=dist[atom_slot],
-            features=(feats[atom_slot] if features is not None else None),
-            indices=slot_to_atom[nbr_slot_k][atom_slot],
+            distances=dist[sel.atom_slot],
+            features=feats_atom,
+            indices=sel.slot_to_atom[sel.nbr_slot_k][sel.atom_slot],
             mask=mask_atom,
-            max_neighbors=jnp.max(counts),
-            max_cell_occupancy=max_occ)
+            max_neighbors=sel.max_neighbors,
+            max_cell_occupancy=sel.max_cell_occupancy)
 
     def _payload_dense(self, positions: Array, box: Optional[Array],
                        features: Optional[Array]) -> 'NeighborPayload':

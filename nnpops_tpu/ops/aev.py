@@ -298,7 +298,9 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
     r_eta = jnp.asarray(basis.radial_eta, dtype)
     r_rs = jnp.asarray(basis.radial_rs, dtype)
 
-    # ---- Radial block (payload mask is exactly the radial-cutoff mask).
+    # ---- Radial block. Re-mask by the true radial cutoff: the payload may
+    # have been built with a Verlet skin (cell cutoff = rc + skin).
+    mask = mask & (r < rc)
     safe_r = jnp.where(mask, r, 1.0)
     fc = cosine_cutoff(safe_r, rc)
     shifted = safe_r[..., None] - r_rs
