@@ -22,8 +22,8 @@ import time
 
 
 def build_scan_bench(num_molecules: int, steps_per_call: int,
-                     angular_capacity: int = 32, capacity: int = 128,
-                     skin: float = 0.8, refresh_every: int = 5):
+                     angular_capacity: int = 32, capacity: int = 96,
+                     skin: float = 0.0, refresh_every: int = 1):
     import jax
     import jax.numpy as jnp
     from nnpops_tpu.config import ANIBasis
@@ -33,8 +33,12 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
 
     water = make_water_box(num_molecules, seed=0)
     basis = ANIBasis.ani2x()
+    # Chunk the AEV at large N: the angular intermediates are 1.6 GB-class
+    # at 26k atoms and thrash HBM in the backward pass otherwise.
+    chunk = 4096 if num_molecules * 3 > 8000 else None
     model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
-                                         angular_capacity=angular_capacity)
+                                         angular_capacity=angular_capacity,
+                                         aev_chunk_size=chunk)
     params = init_ani_params(jax.random.PRNGKey(0), basis)
     box = jnp.asarray(water.box)
     # Verlet skin: the selection (cell assignment + compaction) is refreshed

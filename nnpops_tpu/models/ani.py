@@ -73,15 +73,20 @@ class ANIModel:
     basis: ANIBasis
     species: Tuple[int, ...]                 # static species indices
     angular_capacity: Optional[int] = None
+    # Process the AEV in atom blocks of this size (bounds the angular
+    # intermediates' memory at large N; see compute_aev_from_payload).
+    aev_chunk_size: Optional[int] = None
 
     @classmethod
     def from_atomic_numbers(cls, atomic_numbers, basis: Optional[ANIBasis] = None,
                             elements: Sequence[int] = ANI2X_ELEMENTS,
-                            angular_capacity: Optional[int] = None) -> 'ANIModel':
+                            angular_capacity: Optional[int] = None,
+                            aev_chunk_size: Optional[int] = None) -> 'ANIModel':
         basis = basis if basis is not None else ANIBasis.ani2x()
         sp = species_from_atomic_numbers(atomic_numbers, elements)
         return cls(basis=basis, species=tuple(int(s) for s in sp),
-                   angular_capacity=angular_capacity)
+                   angular_capacity=angular_capacity,
+                   aev_chunk_size=aev_chunk_size)
 
     @property
     def num_atoms(self) -> int:
@@ -137,7 +142,8 @@ class ANIModel:
         payload = cell_list.build_payload(positions, box,
                                           jnp.asarray(self.species_onehot))
         cap = self.angular_capacity or cell_list.capacity
-        radial, angular = compute_aev_from_payload(payload, self.basis, cap)
+        radial, angular = compute_aev_from_payload(payload, self.basis, cap,
+                                                   self.aev_chunk_size)
         feat = jnp.concatenate([radial, angular], axis=1)
         e_nn = ensemble_energy(params.ensemble, feat, self.grouping)
         sae = jnp.sum(params.self_energies[jnp.asarray(self.species_array)])
@@ -159,7 +165,8 @@ class ANIModel:
         payload = cell_list.payload_from_selection(
             positions, box, sel, jnp.asarray(self.species_onehot))
         cap = self.angular_capacity or cell_list.capacity
-        radial, angular = compute_aev_from_payload(payload, self.basis, cap)
+        radial, angular = compute_aev_from_payload(payload, self.basis, cap,
+                                                   self.aev_chunk_size)
         feat = jnp.concatenate([radial, angular], axis=1)
         e_nn = ensemble_energy(params.ensemble, feat, self.grouping)
         sae = jnp.sum(params.self_energies[jnp.asarray(self.species_array)])

@@ -247,28 +247,6 @@ def compute_aev(
     return AEV(radial.reshape(num_centers, -1), angular.reshape(num_centers, -1))
 
 
-def _pair_onehot_from_species(oh1: Array, oh2: Array, num_species: int) -> Array:
-    """Unordered-species-pair one-hot from two per-side species one-hots.
-
-    oh1/oh2: [..., S] -> [..., P], P = S(S+1)/2, in the reference's pair
-    enumeration (CpuANISymmetryFunctions.cpp:39-43). Built from fused
-    elementwise products — replaces the [N, T] table-lookup gather, which is
-    catastrophically slow on TPU (fine gathers cost ~a row per cycle).
-    """
-    table = species_pair_index(num_species)
-    cols = []
-    for s1 in range(num_species):
-        for s2 in range(s1, num_species):
-            if s1 == s2:
-                cols.append(oh1[..., s1] * oh2[..., s1])
-            else:
-                cols.append(oh1[..., s1] * oh2[..., s2]
-                            + oh1[..., s2] * oh2[..., s1])
-    # Columns are produced in (s1 <= s2) order == pair-index order.
-    del table
-    return jnp.stack(cols, axis=-1)
-
-
 def _selection_matrix(idx: np.ndarray, k: int, dtype) -> Array:
     """Constant 0/1 matrix S with S[t, idx[t]] = 1 — static reindexing
     expressed as an MXU matmul instead of a gather."""
@@ -278,16 +256,46 @@ def _selection_matrix(idx: np.ndarray, k: int, dtype) -> Array:
 
 
 def compute_aev_from_payload(payload, basis: ANIBasis,
-                             angular_capacity: int) -> AEV:
+                             angular_capacity: int,
+                             chunk_size: Optional[int] = None) -> AEV:
     """Gather-free AEV from a payload-carrying neighbor list.
 
     ``payload`` is a ``CellList.build_payload`` result whose features are the
     per-neighbor species one-hot [N, K, S]. Everything the angular block
     needs is re-expressed without dynamic indexing: compaction to K_ang is a
-    payload-carrying sort, triple expansion uses constant selection matmuls,
-    and the species-pair index is a product of one-hots. Same math as
-    :func:`compute_aev` (golden-tested against it).
+    key-only sort + one take, triple expansion uses constant selection
+    matmuls, and the species-pair reduction runs in the ordered-species basis
+    (wide MXU tiles). Same math as :func:`compute_aev` (golden-tested).
+
+    ``chunk_size``: process atoms in blocks of this size under ``lax.map`` —
+    bounds the live [chunk, T, A] angular intermediates (1.6 GB-class at 26k
+    atoms otherwise) in both the forward and backward pass. N must be padded
+    to a multiple (the payload's own padding rows are fine to include).
     """
+    if chunk_size is not None and payload.distances.shape[0] > chunk_size:
+        n = payload.distances.shape[0]
+        pad = (-n) % chunk_size
+        def body(args):
+            d, dist, oh, m = args
+            from ..neighbors.cell_list import NeighborPayload
+            chunk = NeighborPayload(d, dist, oh, None, m,
+                                    payload.max_neighbors,
+                                    payload.max_cell_occupancy)
+            return compute_aev_from_payload(chunk, basis, angular_capacity)
+        def padded(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        args = (padded(payload.deltas), padded(payload.distances),
+                padded(payload.features), padded(payload.mask))
+        args = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1, chunk_size) + x.shape[1:]), args)
+        out = jax.lax.map(body, args)
+        radial = out.radial.reshape(-1, out.radial.shape[-1])[:n]
+        angular = out.angular.reshape(-1, out.angular.shape[-1])[:n]
+        return AEV(radial, angular)
+
     deltas, r, onehot, mask = (payload.deltas, payload.distances,
                                payload.features, payload.mask)
     n, k = r.shape
@@ -380,9 +388,23 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
         tri_term = fc2[..., None] * cos_term * jnp.exp(-a_eta * shifted_a * shifted_a)
     tri_term = jnp.where(tri_valid[..., None], tri_term, 0.0)
 
-    pair_onehot = _pair_onehot_from_species(oh1, oh2, s)
-    pair_onehot = pair_onehot * tri_valid[..., None]
-    angular = jnp.einsum('nta,ntp->npa', tri_term, pair_onehot)
+    # Contract over triples in the ORDERED species basis first — the [S, S*A]
+    # output tile maps far better onto the MXU than the direct [P, A] one-hot
+    # contraction (whose 28x32 tile wastes ~98% of the array) — then fold the
+    # ordered matrix into the unordered pair index: for s1 < s2 the two
+    # ordered entries sum; the diagonal passes through.
+    ordered = jnp.einsum('nts,ntu,nta->nsua', oh1,
+                         oh2 * tri_valid[..., None], tri_term)
+    num_pairs = basis.num_species_pairs
+    a_len = tri_term.shape[-1]
+    cols = []
+    for s1 in range(s):
+        for s2 in range(s1, s):
+            if s1 == s2:
+                cols.append(ordered[:, s1, s1, :])
+            else:
+                cols.append(ordered[:, s1, s2, :] + ordered[:, s2, s1, :])
+    angular = jnp.stack(cols, axis=1)                      # [n, P, A]
     a_zeta_full = jnp.asarray(basis.angular_zeta, dtype)
     angular = angular * _pow(2.0, 1.0 - a_zeta_full)
 

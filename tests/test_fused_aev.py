@@ -92,3 +92,21 @@ def test_payload_overflow_reported():
                                jnp.asarray(water.box))
     assert bool(payload.did_overflow(8, cl.cell_capacity))
     assert int(payload.max_neighbors) > 8
+
+
+def test_chunked_aev_matches_unchunked(system):
+    """lax.map-chunked AEV must equal the one-shot evaluation."""
+    water, basis, cl = system
+    from nnpops_tpu.models.ani import species_from_atomic_numbers
+    species = jnp.asarray(species_from_atomic_numbers(water.atomic_numbers))
+    onehot = jax.nn.one_hot(species, basis.num_species, dtype=jnp.float32)
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    payload = cl.build_payload(pos, box, onehot)
+    full = compute_aev_from_payload(payload, basis, 32)
+    chunked = compute_aev_from_payload(payload, basis, 32, chunk_size=128)
+    # Chunked contraction order differs -> fp reassociation at the 1e-6 level.
+    np.testing.assert_allclose(np.asarray(full.radial), np.asarray(chunked.radial),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.angular), np.asarray(chunked.angular),
+                               rtol=1e-4, atol=1e-6)
