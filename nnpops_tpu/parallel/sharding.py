@@ -18,10 +18,14 @@ How the classic parallelism axes map onto the NNP workload:
   blocks of center atoms (positions replicated — every block needs halo
   atoms anyway, and positions are tiny next to activations), with a ``psum``
   for the total energy; forces differentiate through the psum.
-* **TP** — within each expert, the layer-0 contraction over the 1008-long
-  AEV axis is left to GSPMD to shard along ``mp`` when profitable; a 4-layer
-  MLP has no pipeline depth, so PP is deliberately not modeled (documented
-  design decision — there is nothing to pipeline in this workload).
+* **TP** — :func:`tp_ensemble_energy` shards the layer-0 contraction over
+  the 1008-long AEV axis across devices with a psum allreduce (the only
+  contraction in the workload large enough to split profitably).
+* **PP** — :func:`pipeline_ensemble_energy` streams microbatches of atoms
+  through layer-per-device stages with ``ppermute`` handoffs. ANI's 4-layer
+  MLPs are too shallow for PP to pay off in production (EP x DP is the
+  efficient layout); the implementation demonstrates that true pipelining
+  composes with the framework.
 """
 from __future__ import annotations
 
@@ -119,6 +123,135 @@ def jit_train_step(model: ANIModel, optimizer, mesh: Mesh,
     via :func:`shard_batch`); GSPMD inserts the ensemble-mean and gradient
     psums."""
     return jax.jit(make_train_step(model, optimizer, force_weight))
+
+
+def tp_ensemble_energy(model: ANIModel, mesh: Mesh, axis: str = 'mp') -> Callable:
+    """Tensor-parallel ensemble evaluation: the layer-0 contraction over the
+    AEV axis (the only large contraction in the workload — 1008-wide) is
+    sharded across ``axis``; each device multiplies its slice of W0 against
+    its slice of the features and a single psum reconstructs the activations.
+    Layers 1+ run replicated (their contractions are tiny).
+
+    Returns ``fn(params, aev) -> energy``. The AEV length must divide the
+    axis size.
+    """
+    shard_map = jax.shard_map
+    axis_size = mesh.shape[axis]
+    aev_len = model.basis.aev_length
+    if aev_len % axis_size:
+        raise ValueError(f'aev length {aev_len} must divide axis {axis_size}')
+    grouping = model.grouping
+    from ..ops.batched_nn import apply_species_net, SpeciesNet, celu
+
+    def fn(params: ANIParams, aev: Array) -> Array:
+        def shard_fn(params, aev_slice):
+            # aev_slice: [N, aev_len / axis_size]; W0 slice on the
+            # contraction dim. Compute partial layer-0 products and psum.
+            total = jnp.zeros((), aev_slice.dtype)
+            gathered = aev_slice[jnp.asarray(grouping.order)]
+            start = 0
+            pieces = []
+            for s, count in enumerate(grouping.counts):
+                if count == 0:
+                    continue
+                net = params.ensemble.networks[s]
+                block = jax.lax.slice_in_dim(gathered, start, start + count, axis=0)
+                m, out0, in0 = net.weights[0].shape
+                idx = jax.lax.axis_index(axis)
+                w0_slice = jax.lax.dynamic_slice_in_dim(
+                    net.weights[0], idx * (in0 // axis_size),
+                    in0 // axis_size, axis=2)
+                w0_mat = w0_slice.transpose(2, 0, 1).reshape(-1, m * out0)
+                partial = jnp.dot(block, w0_mat,
+                                  preferred_element_type=jnp.float32)
+                h = jax.lax.psum(partial, axis)           # TP allreduce
+                h = h.reshape(block.shape[0], m, out0) + net.biases[0]
+                h = celu(h)
+                rest = SpeciesNet(net.weights[1:], net.biases[1:])
+                for layer in range(len(rest.weights)):
+                    w, b = rest.weights[layer], rest.biases[layer]
+                    h = jax.lax.dot_general(h, w, (((2,), (2,)), ((1,), (0,))),
+                                            preferred_element_type=jnp.float32)
+                    h = jnp.moveaxis(h, 0, 1) + b
+                    if layer < len(rest.weights) - 1:
+                        h = celu(h)
+                total = total + jnp.sum(jnp.mean(h[..., 0], axis=-1))
+                start += count
+            return total
+
+        in_specs = (P(), P(None, axis))
+        return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P())(params, aev)
+
+    return fn
+
+
+def pipeline_ensemble_energy(layer_dims: Tuple[int, ...], mesh: Mesh,
+                             axis: str = 'mp',
+                             num_microbatches: int = 4) -> Callable:
+    """Pipeline-parallel MLP evaluation (PP): layer i lives on device i of
+    ``axis``; microbatches of atoms stream through the stages with
+    ``ppermute`` handoffs (the classic 1F pipeline, bubble = stages-1).
+
+    Built for a homogeneous stack (one hidden width) to keep stage weights
+    stackable — a demonstration that true PP composes with this framework,
+    not the production path (ANI's 4-layer MLPs are too shallow to benefit;
+    see module docstring).
+
+    Returns ``fn(stage_weights [S, W, W], stage_biases [S, W], x [N, W]) ->
+    per-atom outputs [N, W]`` where S == axis size and N divides
+    num_microbatches.
+    """
+    shard_map = jax.shard_map
+
+    def fn(stage_w: Array, stage_b: Array, x: Array) -> Array:
+        stages = mesh.shape[axis]
+
+        def shard_fn(w, b, x_all):
+            # w: [1, W, W] this stage's weights; x_all: [N, W] replicated.
+            w = w[0]
+            b = b[0]
+            idx = jax.lax.axis_index(axis)
+            n = x_all.shape[0]
+            mb = n // num_microbatches
+            x_mb = x_all.reshape(num_microbatches, mb, -1)
+
+            def tick(carry, t):
+                buf, out = carry
+                # Stage 0 injects microbatch t; others use the handoff buffer.
+                inject = jax.lax.dynamic_index_in_dim(
+                    x_mb, jnp.clip(t, 0, num_microbatches - 1), 0,
+                    keepdims=False)
+                current = jnp.where(idx == 0, inject, buf)
+                y = jax.nn.relu(jnp.dot(current, w,
+                                        preferred_element_type=jnp.float32) + b)
+                # Hand off to the next stage; the last stage's output is
+                # collected for the microbatch that has passed all stages.
+                nxt = jax.lax.ppermute(y, axis,
+                                       [(i, (i + 1) % stages)
+                                        for i in range(stages)])
+                done_t = t - (stages - 1)
+                updated = jax.lax.dynamic_update_index_in_dim(
+                    out, y, jnp.clip(done_t, 0, num_microbatches - 1), 0)
+                keep = (done_t >= 0) & (idx == stages - 1)
+                out = jnp.where(keep, updated, out)
+                return (nxt, out), None
+
+            buf0 = jax.lax.pvary(jnp.zeros((mb, x_all.shape[1]), x_all.dtype),
+                                 (axis,))
+            out0 = jax.lax.pvary(jnp.zeros_like(x_mb), (axis,))
+            (_, out), _ = jax.lax.scan(tick, (buf0, out0),
+                                       jnp.arange(num_microbatches + stages - 1))
+            # Only the last stage holds real outputs; broadcast via psum.
+            out = jnp.where(idx == stages - 1, out, 0.0)
+            out = jax.lax.psum(out, axis)
+            return out.reshape(n, -1)
+
+        return shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(axis), P(axis), P()),
+                         out_specs=P())(stage_w, stage_b, x)
+
+    return fn
 
 
 def atom_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp') -> Callable:

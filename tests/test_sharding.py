@@ -92,3 +92,51 @@ def test_atom_sharded_energy_matches_dense(setup):
     g_ref = np.asarray(jax.grad(model.energy, argnums=1)(params, pos))
     np.testing.assert_allclose(e_sharded, e_ref, rtol=1e-5)
     np.testing.assert_allclose(g_sharded, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_layer0():
+    """TP: layer-0 contraction sharded over 'mp' must match the replicated
+    grouped evaluation."""
+    from nnpops_tpu.config import ANIBasis
+    from nnpops_tpu.parallel.sharding import tp_ensemble_energy
+    from nnpops_tpu.ops.batched_nn import ensemble_energy
+    from nnpops_tpu.models.ani import ANIModel, init_ani_params
+    # Basis with aev_length 32 (divisible by the 8-way TP axis).
+    basis32 = ANIBasis.from_grids(2, 4.6, 3.1, EtaR=[16.0],
+                                  ShfR=[1.0, 2.0, 3.0, 4.0], EtaA=[8.0],
+                                  Zeta=[8.0], ShfA=[1.0, 2.0],
+                                  ShfZ=[0.5, 1.0, 1.5, 2.0])
+    model = ANIModel.from_atomic_numbers([8, 1, 1, 8, 1, 1, 8, 1],
+                                         basis32, elements=(1, 8))
+    params = init_ani_params(jax.random.PRNGKey(0), basis32,
+                             layer_dims=((16, 8), (16, 8)), num_models=4)
+    mesh = make_mesh(8, model_parallel=8)   # 8-way TP on the aev axis
+    aev_len = model.basis.aev_length
+    assert aev_len % 8 == 0, aev_len
+    rng = np.random.RandomState(2)
+    aev = jnp.asarray(rng.randn(8, aev_len).astype(np.float32))
+    fn = tp_ensemble_energy(model, mesh, axis='mp')
+    with jax.sharding.set_mesh(mesh):
+        e_tp = float(jax.jit(fn)(params, aev))
+    e_ref = float(ensemble_energy(params.ensemble, aev, model.grouping))
+    np.testing.assert_allclose(e_tp, e_ref, rtol=1e-4)
+
+
+def test_pipeline_parallel_mlp():
+    """PP: a 4-stage microbatched pipeline must equal the sequential stack."""
+    from nnpops_tpu.parallel.sharding import pipeline_ensemble_energy
+    mesh = make_mesh(4, model_parallel=4)   # 4 pipeline stages on 'mp'
+    rng = np.random.RandomState(3)
+    width, n = 16, 32
+    stage_w = jnp.asarray(rng.randn(4, width, width).astype(np.float32) * 0.3)
+    stage_b = jnp.asarray(rng.randn(4, width).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(n, width).astype(np.float32))
+
+    fn = pipeline_ensemble_energy((width,), mesh, axis='mp', num_microbatches=4)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(jax.jit(fn)(stage_w, stage_b, x))
+
+    ref = np.asarray(x)
+    for s in range(4):
+        ref = np.maximum(ref @ np.asarray(stage_w[s]) + np.asarray(stage_b[s]), 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
