@@ -25,6 +25,21 @@ def save_checkpoint(path: str, pytree: Any) -> None:
     os.replace(tmp, path)   # atomic: a crash never leaves a torn checkpoint
 
 
+def save_checkpoint_orbax(path: str, pytree: Any) -> None:
+    """Orbax-backed checkpointing for multi-host / large-state runs (sharded
+    arrays are saved in their native layout). Optional dependency — the npz
+    path above covers single-host use without it."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), pytree, force=True)
+
+
+def load_checkpoint_orbax(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template)
+
+
 def load_checkpoint(path: str, template: Any) -> Any:
     """Load a checkpoint saved by :func:`save_checkpoint` into the structure
     of ``template`` (shapes and dtypes must match)."""

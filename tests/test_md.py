@@ -89,3 +89,39 @@ def test_checkpoint_shape_mismatch_raises(tmp_path, init_state):
     bad_template = init_state._replace(positions=jnp.zeros((N + 1, 3)))
     with pytest.raises(ValueError):
         load_checkpoint(path, bad_template)
+
+
+def test_ani_nve_energy_conservation():
+    """NVE with the fused ANI path: total energy drift stays small over a
+    500-step velocity-Verlet trajectory (the MD-health metric tracked by
+    utils.profiling.EnergyDriftMonitor)."""
+    from nnpops_tpu.config import ANIBasis
+    from nnpops_tpu.models.ani import ANIModel, init_ani_params
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.utils.profiling import EnergyDriftMonitor
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(40, seed=8)   # 120 atoms, dense fallback cell list
+    basis = ANIBasis.ani2x()
+    model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
+                                         angular_capacity=24)
+    params = init_ani_params(jax.random.PRNGKey(0), basis)
+    box = jnp.asarray(water.box)
+    cells = CellList.create(water.box, basis.radial_cutoff, capacity=96)
+
+    def force_fn(pos):
+        return model.energy_and_forces_fused(params, pos, box, cells)
+
+    masses = jnp.where(jnp.asarray(water.atomic_numbers) == 8, 16.0, 1.0)
+    state = initialize(force_fn, jnp.asarray(water.positions), masses,
+                       kT=0.02, key=jax.random.PRNGKey(5))
+    dt = 2e-4
+    step = velocity_verlet(force_fn, masses, dt)
+    monitor = EnergyDriftMonitor(tolerance_per_ps=None)
+    runner = jax.jit(lambda s: run_md(step, s, 100, record_every=100))
+    for block in range(5):
+        state, _ = runner(state)
+        total = float(state.energy + kinetic_energy(state, masses))
+        monitor.record(float(state.step) * dt, total)
+    e0, e_last = monitor.energies[0], monitor.energies[-1]
+    assert abs(e_last - e0) < 5e-3 * max(1.0, abs(e0)), monitor.energies
