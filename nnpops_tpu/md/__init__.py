@@ -1,3 +1,3 @@
 from .integrators import (MDState, initialize, langevin_baoab, velocity_verlet,
-                          run_md, kinetic_energy)
+                          run_md, run_md_sticky, kinetic_energy)
 from .checkpoint import save_checkpoint, load_checkpoint

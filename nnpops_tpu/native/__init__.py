@@ -116,6 +116,19 @@ def plan_capacities(positions: np.ndarray, box: Optional[np.ndarray],
         np.fill_diagonal(d2, np.inf)
         k1 = int((d2 < cutoff * cutoff).sum(1).max())
         k2 = int((d2 < angular_cutoff * angular_cutoff).sum(1).max()) if angular_cutoff else 0
-        occ = n
+        # Real max cell occupancy by binning (matches the native planner).
+        if box is not None:
+            ext = np.diag(np.asarray(box, np.float64)).copy()
+            origin = np.zeros(3)
+        else:
+            lo = positions.min(0).astype(np.float64)
+            ext = positions.max(0) - lo + 1e-3
+            origin = lo
+        nc = np.maximum((ext / cs).astype(int), 1)
+        f = (positions - origin) / ext
+        f -= np.floor(f)
+        cells3 = np.minimum((f * nc).astype(int), nc - 1)
+        ids = (cells3[:, 0] * nc[1] + cells3[:, 1]) * nc[2] + cells3[:, 2]
+        occ = int(np.bincount(ids).max())
     scale = lambda v: int(np.ceil(v * margin)) + 1
     return scale(k1), scale(k2), scale(occ)

@@ -87,10 +87,13 @@ class NeighborList(NamedTuple):
 
 
 def _perpendicular_widths(box: np.ndarray) -> np.ndarray:
-    """Distance between opposite faces of the unit cell along each axis
-    (1 / row-norms of the inverse box)."""
+    """Distance between opposite faces of the unit cell along each fractional
+    axis: fractional coordinate i is ``pos @ inv[:, i]``, so the plane spacing
+    is 1 / ||column i of the inverse box||. (Row norms would overestimate the
+    width along x for tilted boxes and let the 27-cell stencil miss
+    neighbors.)"""
     inv = np.linalg.inv(np.asarray(box, dtype=np.float64))
-    return 1.0 / np.linalg.norm(inv, axis=1)
+    return 1.0 / np.linalg.norm(inv, axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -268,8 +271,12 @@ class CellList:
 
         c = self.cell_capacity
         cc = self.num_cells * c
+        # Dropped (cell-overflow) atoms scatter to cc+1 — out of bounds for
+        # every (cc+1)-row slot array, so mode='drop' discards them and the
+        # zero pad row at index cc stays zero (it is what padded neighbor
+        # entries read).
         slot_of_sorted = jnp.where(rank_sorted < c,
-                                   sorted_ids * c + rank_sorted, cc)
+                                   sorted_ids * c + rank_sorted, cc + 1)
         pos_slots = jnp.zeros((cc, 3), positions.dtype)
         pos_slots = pos_slots.at[slot_of_sorted].set(positions[order], mode='drop')
         present = jnp.zeros((cc,), bool).at[slot_of_sorted].set(True, mode='drop')
@@ -302,8 +309,10 @@ class CellList:
         mask_slot = jnp.isfinite(key_s[:, :k])
         nbr_slot_k = jnp.where(mask_slot, nbr_slot[:, :k].astype(jnp.int32), cc)
 
+        # Dropped atoms' atom_slot points at the zero pad row cc (masked,
+        # zero payload) rather than clamping into another atom's slot.
         atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(
-            slot_of_sorted.astype(jnp.int32), mode='drop')
+            jnp.minimum(slot_of_sorted, cc).astype(jnp.int32), mode='drop')
         slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
         slot_to_atom = slot_to_atom.at[slot_of_sorted].set(
             order.astype(jnp.int32), mode='drop')
@@ -345,15 +354,24 @@ class CellList:
                                   jnp.sum(deltas * deltas, axis=-1), 1.0))
         dist = jnp.where(sel.mask_slot, dist, 0.0)
 
-        deltas_atom = deltas[sel.atom_slot]
-        mask_atom = sel.mask_slot[sel.atom_slot]
-        feats_atom = (nbr_payload[..., 3:3 + num_feat][sel.atom_slot]
-                      if features is not None else None)
+        # Pad row cc: zeros under a False mask, read by overflow-dropped
+        # atoms (atom_slot == cc) so they contribute nothing.
+        def pad_row(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+        deltas_atom = pad_row(deltas)[sel.atom_slot]
+        mask_atom = pad_row(sel.mask_slot)[sel.atom_slot]
+        feats = (nbr_payload[..., 3:3 + num_feat]
+                 if features is not None else None)
+        nbr_idx = sel.slot_to_atom[sel.nbr_slot_k]
+        nbr_idx = jnp.concatenate(
+            [nbr_idx, jnp.full((1, k), n, jnp.int32)], axis=0)[sel.atom_slot]
         return NeighborPayload(
             deltas=deltas_atom,
-            distances=dist[sel.atom_slot],
-            features=feats_atom,
-            indices=sel.slot_to_atom[sel.nbr_slot_k][sel.atom_slot],
+            distances=pad_row(dist)[sel.atom_slot],
+            features=(pad_row(feats)[sel.atom_slot]
+                      if features is not None else None),
+            indices=nbr_idx,
             mask=mask_atom,
             max_neighbors=sel.max_neighbors,
             max_cell_occupancy=sel.max_cell_occupancy)

@@ -103,11 +103,14 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
     indexing left — the geometry rides in the payload).
     """
     n, k = payload.distances.shape
-    y2 = pair_filters(params, jnp.where(payload.mask, payload.distances, 0.0),
-                      payload.mask, config)                  # [N, K, W]
+    # Re-mask by the layer cutoff: the payload may carry a Verlet skin, and
+    # the cosine cutoff is only valid for r <= cutoff (it rises again beyond).
+    mask = payload.mask & (payload.distances < config.cutoff)
+    y2 = pair_filters(params, jnp.where(mask, payload.distances, 0.0),
+                      mask, config)                          # [N, K, W]
     inputs_pad = jnp.concatenate([inputs, jnp.zeros((1, inputs.shape[1]),
                                                     inputs.dtype)])
-    x_nbr = inputs_pad[jnp.where(payload.mask, payload.indices, n)]
+    x_nbr = inputs_pad[jnp.where(mask, payload.indices, n)]
     return jnp.sum(y2 * x_nbr, axis=1)
 
 

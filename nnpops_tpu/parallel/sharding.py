@@ -139,7 +139,7 @@ def tp_ensemble_energy(model: ANIModel, mesh: Mesh, axis: str = 'mp') -> Callabl
     axis_size = mesh.shape[axis]
     aev_len = model.basis.aev_length
     if aev_len % axis_size:
-        raise ValueError(f'aev length {aev_len} must divide axis {axis_size}')
+        raise ValueError(f'axis size {axis_size} must divide aev length {aev_len}')
     grouping = model.grouping
     from ..ops.batched_nn import apply_species_net, SpeciesNet, celu
 
@@ -213,6 +213,9 @@ def pipeline_ensemble_energy(layer_dims: Tuple[int, ...], mesh: Mesh,
             b = b[0]
             idx = jax.lax.axis_index(axis)
             n = x_all.shape[0]
+            if n % num_microbatches:
+                raise ValueError(f'num atoms {n} must be divisible by '
+                                 f'num_microbatches {num_microbatches}')
             mb = n // num_microbatches
             x_mb = x_all.reshape(num_microbatches, mb, -1)
 

@@ -115,10 +115,18 @@ def load_pdb(path: str) -> Molecule:
                 positions.append([float(line[30:38]), float(line[38:46]),
                                   float(line[46:54])])
                 sym = line[76:78].strip() if len(line) > 76 else ''
-                if not sym:
-                    # Fall back to the atom-name column.
-                    sym = line[12:16].strip().lstrip('0123456789')
-                numbers.append(_element_from_symbol(sym))
+                if sym:
+                    numbers.append(_element_from_symbol(sym))
+                else:
+                    # Fall back to the atom-name column: names never mean
+                    # metals ("CA" is a C-alpha carbon, not calcium) — only
+                    # the halogen two-letter forms are honored, mirroring
+                    # the mol2 name logic and the native parser.
+                    letters = ''.join(ch for ch in line[12:16] if ch.isalpha()).upper()
+                    if letters[:2] in ('CL', 'BR'):
+                        numbers.append(_ELEMENTS[letters[:2].capitalize()])
+                    else:
+                        numbers.append(_element_from_symbol(letters[:1]))
     if not positions:
         raise ValueError(f'no atoms found in {path}')
     return Molecule(np.asarray(positions, np.float32),

@@ -78,8 +78,12 @@ def export_torchani_npz(path: str, model_name: str = 'ANI2x') -> None:
     models = list(ensemble) if hasattr(ensemble, '__iter__') else [ensemble]
     num_species = len(model.species_converter.conv_tensor[
         model.species_converter.conv_tensor >= 0])
+    num_networks = len(list(models[0].values()))
+    if num_networks != num_species:
+        raise ValueError(f'converter reports {num_species} species but the '
+                         f'ensemble has {num_networks} atomic networks')
     weights, biases = [], []
-    for s in range(len(list(models[0].values()))):
+    for s in range(num_networks):
         w_s, b_s = [], []
         for m in models:
             seq = list(m.values())[s]

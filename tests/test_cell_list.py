@@ -101,3 +101,26 @@ def test_small_box_falls_back_to_dense():
     got = np.asarray(nlist.indices)
     for i in range(20):
         assert set(int(j) for j in got[i] if j < 20) == expected[i]
+
+
+def test_triclinic_tilted_box_no_missed_neighbors():
+    """Regression: perpendicular widths must come from COLUMN norms of the
+    inverse box — row norms overestimate the x-width of tilted boxes, making
+    cells too narrow for the 27-stencil and silently dropping neighbors."""
+    rng = np.random.RandomState(11)
+    box = np.array([[16.0, 0, 0], [8.0, 16.0, 0], [0.0, 0, 16.0]],
+                   dtype=np.float32)   # strongly tilted b: x-width is 14.3
+    # Random atoms in the box (fractional -> cartesian).
+    frac = rng.rand(400, 3)
+    positions = (frac @ box).astype(np.float32)
+    cutoff = 4.4
+    cl = CellList.create(box, cutoff, capacity=128)
+    if not cl.use_cells:
+        import pytest
+        pytest.skip('box too small for cells')
+    nlist = cl.build(jnp.asarray(positions), jnp.asarray(box))
+    expected = brute_force_sets(positions.astype(np.float64), box, cutoff)
+    got = np.asarray(nlist.indices)
+    for i in range(len(positions)):
+        mine = set(int(j) for j in got[i] if j < len(positions))
+        assert mine == expected[i], f'atom {i}: diff {mine ^ expected[i]}'
