@@ -107,3 +107,18 @@ def test_periodic_system():
     shifted[3] += np.array([11.0, 0, 0], np.float32)
     e2, _ = model.energy_and_forces(params, jnp.asarray(shifted), box=box)
     np.testing.assert_allclose(float(e), float(e2), rtol=1e-5)
+
+
+def test_params_checkpoint_roundtrip(tmp_path, model_and_params):
+    """Model-parameter serialization round-trip gives identical energies
+    (the analog of the reference's TorchScript save/load tests,
+    TestSymmetryFunctions.py:107-143)."""
+    from nnpops_tpu.md.checkpoint import load_checkpoint, save_checkpoint
+    model, params = model_and_params
+    pos = jnp.asarray(METHANOL_POS)
+    e_before = float(model.energy(params, pos))
+    path = str(tmp_path / 'params.npz')
+    save_checkpoint(path, params)
+    restored = load_checkpoint(path, params)
+    e_after = float(model.energy(restored, pos))
+    assert e_before == e_after   # bitwise identical
