@@ -22,17 +22,22 @@ import time
 
 
 def build_scan_bench(num_molecules: int, steps_per_call: int,
-                     angular_capacity: int = 32, capacity: int = 96,
                      skin: float = 0.0, refresh_every: int = 1):
     import jax
     import jax.numpy as jnp
     from nnpops_tpu.config import ANIBasis
     from nnpops_tpu.models.ani import ANIModel, init_ani_params
+    from nnpops_tpu.native import plan_capacities
     from nnpops_tpu.neighbors.cell_list import CellList
     from nnpops_tpu.utils.water import make_water_box
 
     water = make_water_box(num_molecules, seed=0)
     basis = ANIBasis.ani2x()
+    # Size the static shapes from the actual configuration (native O(N)
+    # planner): true max neighbor counts + headroom, instead of guesses.
+    capacity, angular_capacity, _ = plan_capacities(
+        water.positions, water.box, basis.radial_cutoff + skin,
+        basis.angular_cutoff, margin=1.15)
     # Chunk the AEV at large N: the angular intermediates are 1.6 GB-class
     # at 26k atoms and thrash HBM in the backward pass otherwise.
     chunk = 4096 if num_molecules * 3 > 8000 else None

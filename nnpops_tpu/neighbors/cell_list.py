@@ -300,14 +300,20 @@ class CellList:
         counts = jnp.sum(valid.astype(jnp.int32), axis=2)
 
         rows = cc
-        key = jnp.where(valid, d2, jnp.inf).reshape(rows, kk)
+        # Compaction does not need distance order — any deterministic order
+        # of the valid entries works — so pack (validity | slot id) into ONE
+        # int32 sort key: valid candidates sort first (by slot id), invalid
+        # ones are offset beyond every valid value. Halves the sort traffic
+        # vs a (key, payload) two-operand sort.
         cand_rows = jnp.broadcast_to(cand_slot[:, None, :],
                                      (self.num_cells, c, kk)).reshape(rows, kk)
-        key_s, nbr_slot = jax.lax.sort([key, cand_rows.astype(jnp.float32)],
-                                       dimension=1, num_keys=1)
+        packed = jnp.where(valid.reshape(rows, kk), cand_rows,
+                           cand_rows + (cc + 1))
+        packed = jax.lax.sort(packed, dimension=1)
         k = self.capacity
-        mask_slot = jnp.isfinite(key_s[:, :k])
-        nbr_slot_k = jnp.where(mask_slot, nbr_slot[:, :k].astype(jnp.int32), cc)
+        packed_k = packed[:, :k]
+        mask_slot = packed_k <= cc
+        nbr_slot_k = jnp.where(mask_slot, packed_k, cc)
 
         # Dropped atoms' atom_slot points at the zero pad row cc (masked,
         # zero payload) rather than clamping into another atom's slot.
