@@ -110,3 +110,20 @@ def test_chunked_aev_matches_unchunked(system):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(full.angular), np.asarray(chunked.angular),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_determinism_bitwise(system):
+    """Two evaluations give bitwise-identical forces — an upgrade over the
+    reference's nondeterministic CUDA pair order + atomics (SURVEY §5
+    'race detection': determinism by construction)."""
+    water, basis, cl = system
+    model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
+                                         angular_capacity=32)
+    params = init_ani_params(jax.random.PRNGKey(0), basis)
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    f = jax.jit(lambda pr, p: model.energy_and_forces_fused(pr, p, box, cl))
+    e1, f1 = f(params, pos)
+    e2, f2 = f(params, pos)
+    assert float(e1) == float(e2)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
