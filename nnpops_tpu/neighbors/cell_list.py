@@ -58,11 +58,11 @@ class SlotSelection(NamedTuple):
     (build the CellList with ``cutoff + skin``) — the Verlet-list contract.
     """
     order: Array           # [N] sorted-by-cell atom order at freeze time
-    slot_of_sorted: Array  # [N] slot id per sorted atom (cc = dropped)
-    atom_slot: Array       # [N] slot id per atom in ORIGINAL order
+    slot_of_sorted: Array  # [N] slot id per sorted atom (cc+1 = dropped)
+    inv_order: Array       # [N] sorted position of each original atom
     slot_to_atom: Array    # [cc+1] original atom id per slot (N = empty)
-    nbr_slot_k: Array      # [rows, K] compacted neighbor slot ids (cc = pad)
-    mask_slot: Array       # [rows, K] valid-pair mask at freeze time
+    nbr_slot_k: Array      # [N, K] compacted neighbor slot ids (cc = pad)
+    mask: Array            # [N, K] valid-pair mask at freeze time
     max_neighbors: Array
     max_cell_occupancy: Array
 
@@ -242,9 +242,14 @@ class CellList:
 
     def select(self, positions: Array, box: Array) -> SlotSelection:
         """The non-differentiable selection phase: cell assignment, slot
-        packing and sorted compaction to K. Everything runs under
+        packing and per-atom compaction to K. Everything runs under
         stop_gradient — selection is a discrete choice; gradients flow only
-        through the payload phase. Freeze once, reuse for many steps."""
+        through the payload phase. Freeze once, reuse for many steps.
+
+        All per-candidate work runs over the N real atoms (sorted by cell),
+        not over the cells*C slot grid — slot rows are ~2x padding at liquid
+        density and would double every sort/gather/broadcast downstream.
+        """
         positions = jax.lax.stop_gradient(positions)
         box = jax.lax.stop_gradient(box)
         n = positions.shape[0]
@@ -271,61 +276,60 @@ class CellList:
 
         c = self.cell_capacity
         cc = self.num_cells * c
-        # Dropped (cell-overflow) atoms scatter to cc+1 — out of bounds for
-        # every (cc+1)-row slot array, so mode='drop' discards them and the
-        # zero pad row at index cc stays zero (it is what padded neighbor
-        # entries read).
+        # Cell-overflow atoms scatter to cc+1 — out of bounds for every
+        # (cc+1)-row slot array, so mode='drop' discards them and the zero
+        # pad row at index cc stays zero. They keep their own (sorted-atom)
+        # row below, so only their absence from OTHERS' candidate sets is
+        # the overflow error (reported via max_cell_occupancy).
         slot_of_sorted = jnp.where(rank_sorted < c,
                                    sorted_ids * c + rank_sorted, cc + 1)
         pos_slots = jnp.zeros((cc, 3), positions.dtype)
-        pos_slots = pos_slots.at[slot_of_sorted].set(positions[order], mode='drop')
+        pos_sorted = positions[order]
+        pos_slots = pos_slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
         present = jnp.zeros((cc,), bool).at[slot_of_sorted].set(True, mode='drop')
 
         stencil = jnp.asarray(self._stencil())                 # [cells, 27]
         kk = 27 * c
         cand_slot = (stencil[:, :, None] * c
                      + jnp.arange(c, dtype=jnp.int32)).reshape(self.num_cells, kk)
-        cand_pos = pos_slots[cand_slot.reshape(-1)].reshape(
-            self.num_cells, kk, 3)
-        delta = (cand_pos[:, None, :, :]
-                 - pos_slots.reshape(self.num_cells, c, 3)[:, :, None, :])
-        delta = minimum_image(delta, box)
-        d2 = jnp.sum(delta * delta, axis=-1)                   # [cells, C, kk]
-        present_cand = present[cand_slot]
-        own_slot = (jnp.arange(self.num_cells, dtype=jnp.int32)[:, None] * c
-                    + jnp.arange(c, dtype=jnp.int32))
-        not_self = cand_slot[:, None, :] != own_slot[:, :, None]
-        valid = (present[own_slot][:, :, None] & present_cand[:, None, :]
-                 & (d2 < self.cutoff * self.cutoff) & not_self)
-        counts = jnp.sum(valid.astype(jnp.int32), axis=2)
+        # Coarse block gathers: whole 27-neighborhoods per cell, then whole
+        # candidate rows per atom.
+        cand_pos_cells = pos_slots.reshape(self.num_cells, c, 3)[stencil]
+        cand_pos_cells = cand_pos_cells.reshape(self.num_cells, kk, 3)
+        present_cells = present.reshape(self.num_cells, c)[stencil]
+        present_cells = present_cells.reshape(self.num_cells, kk)
 
-        rows = cc
+        cand_pos = cand_pos_cells[sorted_ids]                  # [N, kk, 3]
+        cand_present = present_cells[sorted_ids]               # [N, kk]
+        cand_slot_atom = cand_slot[sorted_ids]                 # [N, kk]
+
+        delta = cand_pos - pos_sorted[:, None, :]
+        delta = minimum_image(delta, box)
+        d2 = jnp.sum(delta * delta, axis=-1)                   # [N, kk]
+        not_self = cand_slot_atom != slot_of_sorted[:, None]
+        valid = cand_present & (d2 < self.cutoff * self.cutoff) & not_self
+        counts = jnp.sum(valid.astype(jnp.int32), axis=1)
+
         # Compaction does not need distance order — any deterministic order
         # of the valid entries works — so pack (validity | slot id) into ONE
         # int32 sort key: valid candidates sort first (by slot id), invalid
-        # ones are offset beyond every valid value. Halves the sort traffic
-        # vs a (key, payload) two-operand sort.
-        cand_rows = jnp.broadcast_to(cand_slot[:, None, :],
-                                     (self.num_cells, c, kk)).reshape(rows, kk)
-        packed = jnp.where(valid.reshape(rows, kk), cand_rows,
-                           cand_rows + (cc + 1))
+        # ones are offset beyond every valid value.
+        packed = jnp.where(valid, cand_slot_atom, cand_slot_atom + (cc + 1))
         packed = jax.lax.sort(packed, dimension=1)
         k = self.capacity
         packed_k = packed[:, :k]
-        mask_slot = packed_k <= cc
-        nbr_slot_k = jnp.where(mask_slot, packed_k, cc)
+        mask = packed_k <= cc
+        nbr_slot_k = jnp.where(mask, packed_k, cc)             # [N, K]
 
-        # Dropped atoms' atom_slot points at the zero pad row cc (masked,
-        # zero payload) rather than clamping into another atom's slot.
-        atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.minimum(slot_of_sorted, cc).astype(jnp.int32), mode='drop')
+        inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
+            idx_n, mode='drop')
         slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
         slot_to_atom = slot_to_atom.at[slot_of_sorted].set(
             order.astype(jnp.int32), mode='drop')
         return SlotSelection(order=order.astype(jnp.int32),
                              slot_of_sorted=slot_of_sorted.astype(jnp.int32),
-                             atom_slot=atom_slot, slot_to_atom=slot_to_atom,
-                             nbr_slot_k=nbr_slot_k, mask_slot=mask_slot,
+                             inv_order=inv_order, slot_to_atom=slot_to_atom,
+                             nbr_slot_k=nbr_slot_k, mask=mask,
                              max_neighbors=jnp.max(counts),
                              max_cell_occupancy=max_occ)
 
@@ -334,16 +338,18 @@ class CellList:
                                features: Optional[Array] = None,
                                ) -> 'NeighborPayload':
         """The differentiable payload phase: re-scatter current positions
-        (+features) into the frozen slots, fetch the compacted neighbors with
-        one packed gather, recompute deltas/distances. This is the only part
-        that runs every MD step under slot-sticky (Verlet-skin) stepping."""
+        (+features) into the frozen slots, fetch each atom's compacted
+        neighbors with one packed gather, recompute deltas/distances. This is
+        the only part that runs every MD step under slot-sticky (Verlet-skin)
+        stepping. All rows are sorted-atom rows (N, not cells*C)."""
         n = positions.shape[0]
         num_feat = 0 if features is None else features.shape[1]
         c = self.cell_capacity
         cc = self.num_cells * c
         k = self.capacity
 
-        parts = [positions[sel.order]]
+        pos_sorted = positions[sel.order]
+        parts = [pos_sorted]
         if features is not None:
             parts.append(features[sel.order])
         packed = jnp.concatenate(parts, axis=1)                # [N, W]
@@ -351,34 +357,25 @@ class CellList:
         slots = jnp.zeros((cc + 1, width), positions.dtype)
         slots = slots.at[sel.slot_of_sorted].set(packed, mode='drop')
 
-        rows = cc
-        nbr_payload = slots[sel.nbr_slot_k.reshape(-1)].reshape(rows, k, width)
-        center = slots[:cc, :3][:, None, :]
-        deltas = minimum_image(nbr_payload[..., :3] - center, box)
-        deltas = jnp.where(sel.mask_slot[..., None], deltas, 0.0)
-        dist = jnp.sqrt(jnp.where(sel.mask_slot,
+        nbr_payload = slots[sel.nbr_slot_k.reshape(-1)].reshape(n, k, width)
+        deltas = minimum_image(nbr_payload[..., :3] - pos_sorted[:, None, :],
+                               box)
+        deltas = jnp.where(sel.mask[..., None], deltas, 0.0)
+        dist = jnp.sqrt(jnp.where(sel.mask,
                                   jnp.sum(deltas * deltas, axis=-1), 1.0))
-        dist = jnp.where(sel.mask_slot, dist, 0.0)
-
-        # Pad row cc: zeros under a False mask, read by overflow-dropped
-        # atoms (atom_slot == cc) so they contribute nothing.
-        def pad_row(x):
-            return jnp.concatenate(
-                [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
-        deltas_atom = pad_row(deltas)[sel.atom_slot]
-        mask_atom = pad_row(sel.mask_slot)[sel.atom_slot]
+        dist = jnp.where(sel.mask, dist, 0.0)
         feats = (nbr_payload[..., 3:3 + num_feat]
                  if features is not None else None)
-        nbr_idx = sel.slot_to_atom[sel.nbr_slot_k]
-        nbr_idx = jnp.concatenate(
-            [nbr_idx, jnp.full((1, k), n, jnp.int32)], axis=0)[sel.atom_slot]
+        nbr_idx = jnp.where(sel.mask, sel.slot_to_atom[sel.nbr_slot_k], n)
+
+        # Back to original atom order: coarse row gathers of K-wide rows.
+        io = sel.inv_order
         return NeighborPayload(
-            deltas=deltas_atom,
-            distances=pad_row(dist)[sel.atom_slot],
-            features=(pad_row(feats)[sel.atom_slot]
-                      if features is not None else None),
-            indices=nbr_idx,
-            mask=mask_atom,
+            deltas=deltas[io],
+            distances=dist[io],
+            features=(feats[io] if features is not None else None),
+            indices=nbr_idx[io],
+            mask=sel.mask[io],
             max_neighbors=sel.max_neighbors,
             max_cell_occupancy=sel.max_cell_occupancy)
 
