@@ -293,19 +293,32 @@ class CellList:
         cand_slot = (stencil[:, :, None] * c
                      + jnp.arange(c, dtype=jnp.int32)).reshape(self.num_cells, kk)
         # Coarse block gathers: whole 27-neighborhoods per cell, then whole
-        # candidate rows per atom.
+        # candidate rows per atom. LAYOUT: the xyz axis is kept SECOND so the
+        # large candidate axis is the 128-lane minor dim — a trailing dim of
+        # 3 is padded 42x by TPU tiling (measured via an HBM OOM report).
         cand_pos_cells = pos_slots.reshape(self.num_cells, c, 3)[stencil]
-        cand_pos_cells = cand_pos_cells.reshape(self.num_cells, kk, 3)
+        cand_pos_cells = cand_pos_cells.reshape(self.num_cells, 27 * c, 3)
+        cand_pos_cells = cand_pos_cells.transpose(0, 2, 1)     # [cells, 3, kk]
         present_cells = present.reshape(self.num_cells, c)[stencil]
         present_cells = present_cells.reshape(self.num_cells, kk)
 
-        cand_pos = cand_pos_cells[sorted_ids]                  # [N, kk, 3]
+        cand_pos = cand_pos_cells[sorted_ids]                  # [N, 3, kk]
         cand_present = present_cells[sorted_ids]               # [N, kk]
         cand_slot_atom = cand_slot[sorted_ids]                 # [N, kk]
 
-        delta = cand_pos - pos_sorted[:, None, :]
-        delta = minimum_image(delta, box)
-        d2 = jnp.sum(delta * delta, axis=-1)                   # [N, kk]
+        delta = cand_pos - pos_sorted[:, :, None]              # [N, 3, kk]
+        # Reduced-box minimum image, component form (c, then b, then a —
+        # same order as geometry.minimum_image).
+        dx, dy, dz = delta[:, 0, :], delta[:, 1, :], delta[:, 2, :]
+        s3 = jnp.round(dz / box[2, 2])
+        dx = dx - s3 * box[2, 0]
+        dy = dy - s3 * box[2, 1]
+        dz = dz - s3 * box[2, 2]
+        s2 = jnp.round(dy / box[1, 1])
+        dx = dx - s2 * box[1, 0]
+        dy = dy - s2 * box[1, 1]
+        dx = dx - jnp.round(dx / box[0, 0]) * box[0, 0]
+        d2 = dx * dx + dy * dy + dz * dz                       # [N, kk]
         not_self = cand_slot_atom != slot_of_sorted[:, None]
         valid = cand_present & (d2 < self.cutoff * self.cutoff) & not_self
         counts = jnp.sum(valid.astype(jnp.int32), axis=1)

@@ -258,7 +258,8 @@ def _selection_matrix(idx: np.ndarray, k: int, dtype) -> Array:
 def compute_aev_from_payload(payload, basis: ANIBasis,
                              angular_capacity: int,
                              chunk_size: Optional[int] = None,
-                             contraction_dtype=None) -> AEV:
+                             contraction_dtype=None,
+                             angular_impl: str = 'ordered3') -> AEV:
     """Gather-free AEV from a payload-carrying neighbor list.
 
     ``payload`` is a ``CellList.build_payload`` result whose features are the
@@ -289,7 +290,8 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
                                     payload.max_neighbors,
                                     payload.max_cell_occupancy)
             return compute_aev_from_payload(chunk, basis, angular_capacity,
-                                            contraction_dtype=contraction_dtype)
+                                            contraction_dtype=contraction_dtype,
+                                            angular_impl=angular_impl)
         def padded(x):
             if pad == 0:
                 return x
@@ -348,31 +350,57 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
     r_a = jnp.take_along_axis(r, take, axis=1)
     r_a = jnp.where(ang_valid, r_a, 1.0)
 
-    jj, kk = np.triu_indices(k_ang, k=1)
-    sel_j = _selection_matrix(jj, k_ang, dtype)     # [T, K_ang]
-    sel_k = _selection_matrix(kk, k_ang, dtype)
-    d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta)
-    d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta)
-    r1 = jnp.einsum('tk,nk->nt', sel_j, r_a)
-    r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a)
-    v1 = jnp.einsum('tk,nk->nt', sel_j, ang_valid.astype(dtype))
-    v2 = jnp.einsum('tk,nk->nt', sel_k, ang_valid.astype(dtype))
-    tri_valid = (v1 * v2) > 0.5
-    oh1 = jnp.einsum('tk,nks->nts', sel_j, ang_oh)
-    oh2 = jnp.einsum('tk,nks->nts', sel_k, ang_oh)
-
-    dot = jnp.sum(d1 * d2, axis=-1)
-    dot = jnp.where(tri_valid, dot, 0.0)
-    r1r2 = r1 * r2_
-    if basis.torchani:
-        cos_t = jnp.clip(0.95 * dot / r1r2, -0.95, 0.95)
-        sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+    if angular_impl == 'dense':
+        # Dense-pair formulation: all angular quantities live on the full
+        # [N, K_ang, K_ang] neighbor-pair matrix (upper triangle masked) —
+        # pure broadcasts from the [N, K_ang] arrays, NO triple-selection
+        # machinery at all. ~2x the elements of the triangular enumeration
+        # but every selection einsum/gather disappears, and the species-pair
+        # contraction factorizes into two K_ang-contractions with wide
+        # output tiles (measured several-fold faster at 26k atoms).
+        tri_valid = (ang_valid[:, :, None] & ang_valid[:, None, :]
+                     & (jnp.arange(k_ang)[:, None] < jnp.arange(k_ang)[None, :]))
+        dot = jnp.einsum('njx,nkx->njk', ang_delta, ang_delta)
+        dot = jnp.where(tri_valid, dot, 0.0)
+        r1 = r_a[:, :, None]
+        r2_ = r_a[:, None, :]
+        r1r2 = r1 * r2_
+        if basis.torchani:
+            cos_t = jnp.clip(0.95 * dot / r1r2, -0.95, 0.95)
+            sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+        else:
+            cos_t = dot / r1r2
+            cross = jnp.cross(ang_delta[:, :, None, :], ang_delta[:, None, :, :])
+            cross_sq = jnp.sum(cross * cross, axis=-1)
+            cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(cross_sq,
+                                         jnp.asarray(1e-12, dtype))) / r1r2
     else:
-        cos_t = dot / r1r2
-        cross = jnp.cross(d1, d2)
-        cross_sq = jnp.sum(cross * cross, axis=-1)
-        cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(cross_sq, jnp.asarray(1e-12, dtype))) / r1r2
+        jj, kk = np.triu_indices(k_ang, k=1)
+        sel_j = _selection_matrix(jj, k_ang, dtype)     # [T, K_ang]
+        sel_k = _selection_matrix(kk, k_ang, dtype)
+        d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta)
+        d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta)
+        r1 = jnp.einsum('tk,nk->nt', sel_j, r_a)
+        r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a)
+        v1 = jnp.einsum('tk,nk->nt', sel_j, ang_valid.astype(dtype))
+        v2 = jnp.einsum('tk,nk->nt', sel_k, ang_valid.astype(dtype))
+        tri_valid = (v1 * v2) > 0.5
+        oh1 = jnp.einsum('tk,nks->nts', sel_j, ang_oh)
+        oh2 = jnp.einsum('tk,nks->nts', sel_k, ang_oh)
+
+        dot = jnp.sum(d1 * d2, axis=-1)
+        dot = jnp.where(tri_valid, dot, 0.0)
+        r1r2 = r1 * r2_
+        if basis.torchani:
+            cos_t = jnp.clip(0.95 * dot / r1r2, -0.95, 0.95)
+            sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+        else:
+            cos_t = dot / r1r2
+            cross = jnp.cross(d1, d2)
+            cross_sq = jnp.sum(cross * cross, axis=-1)
+            cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(cross_sq, jnp.asarray(1e-12, dtype))) / r1r2
 
     r_mean = 0.5 * (r1 + r2_)
     fc2 = cosine_cutoff(r1, ra) * cosine_cutoff(r2_, ra)
@@ -386,8 +414,9 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
         cos_pow = _pow(1.0 + cos_tm, zeta0)
         shifted_a = r_mean[..., None] - rs_grid
         exp_term = fc2[..., None] * jnp.exp(-eta0 * shifted_a * shifted_a)
-        tri_term = (exp_term[..., :, None] * cos_pow[..., None, :]).reshape(
-            n, -1, len(basis.angular_rs_grid) * len(basis.angular_thetas_grid))
+        tri_term = exp_term[..., :, None] * cos_pow[..., None, :]
+        a_len = len(basis.angular_rs_grid) * len(basis.angular_thetas_grid)
+        tri_term = tri_term.reshape(*tri_term.shape[:-2], a_len)
     else:
         a_eta = jnp.asarray(basis.angular_eta, dtype)
         a_rs = jnp.asarray(basis.angular_rs, dtype)
@@ -404,20 +433,62 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
     # contraction (whose 28x32 tile wastes ~98% of the array) — then fold the
     # ordered matrix into the unordered pair index: for s1 < s2 the two
     # ordered entries sum; the diagonal passes through.
-    ordered = jnp.einsum('nts,ntu,nta->nsua', oh1.astype(cdt),
-                         (oh2 * tri_valid[..., None]).astype(cdt),
-                         tri_term.astype(cdt),
-                         preferred_element_type=jnp.float32)
-    num_pairs = basis.num_species_pairs
     a_len = tri_term.shape[-1]
-    cols = []
-    for s1 in range(s):
-        for s2 in range(s1, s):
-            if s1 == s2:
-                cols.append(ordered[:, s1, s1, :])
-            else:
-                cols.append(ordered[:, s1, s2, :] + ordered[:, s2, s1, :])
-    angular = jnp.stack(cols, axis=1)                      # [n, P, A]
+    if angular_impl == 'dense':
+        # Two successive K_ang-contractions (factorized pair one-hot):
+        # X[n,j,u,a] = sum_k oh[n,k,u] tri[n,j,k,a];
+        # ordered[n,s,u,a] = sum_j oh[n,j,s] X[n,j,u,a].
+        oh_c = ang_oh.astype(cdt)
+        x1 = jnp.einsum('nku,njka->njua', oh_c, tri_term.astype(cdt),
+                        preferred_element_type=jnp.float32)
+        ordered = jnp.einsum('njs,njua->nsua', oh_c, x1.astype(cdt),
+                             preferred_element_type=jnp.float32)
+        cols = []
+        for s1 in range(s):
+            for s2 in range(s1, s):
+                if s1 == s2:
+                    cols.append(ordered[:, s1, s1, :])
+                else:
+                    cols.append(ordered[:, s1, s2, :] + ordered[:, s2, s1, :])
+        angular = jnp.stack(cols, axis=1)                  # [n, P, A]
+    elif angular_impl == 'pair':
+        # Direct unordered-pair one-hot contraction (narrow [P, A] tile).
+        cols = []
+        for s1 in range(s):
+            for s2 in range(s1, s):
+                if s1 == s2:
+                    cols.append(oh1[..., s1] * oh2[..., s1])
+                else:
+                    cols.append(oh1[..., s1] * oh2[..., s2]
+                                + oh1[..., s2] * oh2[..., s1])
+        pair_oh = jnp.stack(cols, axis=-1) * tri_valid[..., None]
+        angular = jnp.einsum('nta,ntp->npa', tri_term.astype(cdt),
+                             pair_oh.astype(cdt),
+                             preferred_element_type=jnp.float32)
+    else:
+        if angular_impl == 'ordered2':
+            # Materialize the (oh2 x tri) product explicitly, then one
+            # 2-operand contraction — different VJP structure than the
+            # 3-operand einsum (whose transpose XLA may schedule poorly).
+            m2 = ((oh2 * tri_valid[..., None])[..., :, None]
+                  * tri_term[..., None, :]).reshape(n, -1, s * a_len)
+            ordered = jnp.einsum('nts,ntq->nsq', oh1.astype(cdt),
+                                 m2.astype(cdt),
+                                 preferred_element_type=jnp.float32)
+            ordered = ordered.reshape(n, s, s, a_len)
+        else:
+            ordered = jnp.einsum('nts,ntu,nta->nsua', oh1.astype(cdt),
+                                 (oh2 * tri_valid[..., None]).astype(cdt),
+                                 tri_term.astype(cdt),
+                                 preferred_element_type=jnp.float32)
+        cols = []
+        for s1 in range(s):
+            for s2 in range(s1, s):
+                if s1 == s2:
+                    cols.append(ordered[:, s1, s1, :])
+                else:
+                    cols.append(ordered[:, s1, s2, :] + ordered[:, s2, s1, :])
+        angular = jnp.stack(cols, axis=1)                  # [n, P, A]
     a_zeta_full = jnp.asarray(basis.angular_zeta, dtype)
     angular = angular * _pow(2.0, 1.0 - a_zeta_full)
 
