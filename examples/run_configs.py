@@ -6,7 +6,7 @@ Usage: python examples/run_configs.py [1|2|3|4|5|all] [--platform cpu]
 2. SchNet CFConv message passing on an aspirin-sized molecule
 3. Periodic cell-list neighbors + ANI-2x on a 2.6k-atom water box
 4. PME direct+reciprocal electrostatics on a water box
-5. Full ANI MD loop: 1000 Langevin steps under jax.lax.scan
+5. Full ANI + PME MD loop: 1000 Langevin steps under jax.lax.scan
 """
 import argparse
 import os
@@ -99,30 +99,39 @@ def config4():
 
 
 def config5():
-    """1000 Langevin steps under one lax.scan (450-atom box for speed)."""
+    """1000 Langevin steps of ANI + PME under one lax.scan (450-atom box)."""
     import jax, jax.numpy as jnp, numpy as np
     from nnpops_tpu.config import ANIBasis
     from nnpops_tpu.md.integrators import initialize, langevin_baoab, run_md
     from nnpops_tpu.models.ani import ANIModel, init_ani_params
+    from nnpops_tpu.models.combined import ANIWithPME
+    from nnpops_tpu.ops.pme import PME
     from nnpops_tpu.neighbors.cell_list import CellList
     from nnpops_tpu.utils.water import make_water_box
 
     water = make_water_box(150)
+    n = len(water.positions)
     basis = ANIBasis.ani2x()
     model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
                                          angular_capacity=32)
     params = init_ani_params(jax.random.PRNGKey(0), basis,
                              self_energies=np.linspace(-40, -1, 7))
+    pme = PME(16, 16, 16, 5, 0.6, 1389.35457, np.full((n, 1), -1, np.int32))
+    ff = ANIWithPME(ani=model, pme=pme, pme_cutoff=5.0)
     box = jnp.asarray(water.box)
+    # Scaled-down charges: with random NN weights there is no short-range
+    # repulsion to balance full TIP3P electrostatics (real runs load trained
+    # weights via utils.torchani_io).
+    charges = jnp.asarray(water.charges) * 0.2
     cells = CellList.create(water.box, basis.radial_cutoff, capacity=96)
 
     def force_fn(pos):
-        return model.energy_and_forces_fused(params, pos, box, cells)
+        return ff.energy_and_forces(params, pos, charges, box, cells)
 
     masses = jnp.where(jnp.asarray(water.atomic_numbers) == 8, 16.0, 1.0)
     state = initialize(force_fn, jnp.asarray(water.positions), masses,
                        kT=0.596, key=jax.random.PRNGKey(1))
-    step = langevin_baoab(force_fn, masses, dt=5e-4, friction=1.0, kT=0.596)
+    step = langevin_baoab(force_fn, masses, dt=2e-4, friction=5.0, kT=0.596)
     t0 = time.time()
     final, energies = jax.jit(lambda s: run_md(step, s, 1000, record_every=100))(state)
     jax.block_until_ready(final.positions)
