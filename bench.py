@@ -40,7 +40,7 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
         basis.angular_cutoff, margin=1.15)
     # Chunk the AEV at large N: the angular intermediates are 1.6 GB-class
     # at 26k atoms and thrash HBM in the backward pass otherwise.
-    chunk = 2048 if num_molecules * 3 > 8000 else None
+    chunk = 512 if num_molecules * 3 > 8000 else None
     model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
                                          angular_capacity=angular_capacity,
                                          aev_chunk_size=chunk)
