@@ -69,7 +69,13 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
         final, energies = jax.lax.scan(block, positions, None, length=blocks)
         return final, energies
 
-    return run, params, jnp.asarray(water.positions), blocks * refresh_every
+    def check_overflow(positions):
+        # Consume the soft-failure overflow contract between scanned calls
+        # (SURVEY §7.3): raises if any static capacity was exceeded.
+        model.check_overflow(positions, box, cell_list)
+
+    return (run, params, jnp.asarray(water.positions),
+            blocks * refresh_every, check_overflow)
 
 
 def main():
@@ -84,24 +90,32 @@ def main():
     import jax
     target_us = 2000.0   # BASELINE.md: < 2 ms/step at 26k atoms
 
-    # The 2.6k box is the default headline: compiling the 26k program through
-    # the remote-TPU tunnel is slow enough to risk the driver's time budget;
-    # run `bench.py --molecules 8670` for the 26k north-star number.
-    candidates = ([(args.molecules, f'ani2x_energy_forces_us_per_step_'
-                    f'{args.molecules * 3}atom_water')] if args.molecules else
-                  [(867, 'ani2x_energy_forces_us_per_step_2.6k_water')])
+    # The headline metric is the BASELINE.md north-star workload: the
+    # 26k-atom box (8670 molecules). The 2.6k box stays as an automatic
+    # fallback in case the large program fails on the chip (e.g. OOM or a
+    # compile-time blowup through the remote tunnel).
+    if args.molecules:
+        candidates = [(args.molecules, f'ani2x_energy_forces_us_per_step_'
+                       f'{args.molecules * 3}atom_water')]
+    else:
+        candidates = [
+            (8670, 'ani2x_energy_forces_us_per_step_26k_water'),
+            (867, 'ani2x_energy_forces_us_per_step_2.6k_water'),
+        ]
 
     for num_mol, metric in candidates:
         try:
-            run, params, positions, true_steps = build_scan_bench(num_mol,
-                                                                  args.steps)
+            (run, params, positions, true_steps,
+             check_overflow) = build_scan_bench(num_mol, args.steps)
             final, energies = run(params, positions)       # compile + warmup
             jax.block_until_ready(final)
+            check_overflow(final)   # overflow contract: between scanned calls
             t0 = time.perf_counter()
             for _ in range(args.calls):
                 final, energies = run(params, positions)
             jax.block_until_ready(final)
             us = (time.perf_counter() - t0) / (args.calls * true_steps) * 1e6
+            check_overflow(final)
             print(json.dumps({'metric': metric, 'value': round(us, 1),
                               'unit': 'us/step',
                               'vs_baseline': round(target_us / us, 4)}))

@@ -135,6 +135,9 @@ def config5():
     t0 = time.time()
     final, energies = jax.jit(lambda s: run_md(step, s, 1000, record_every=100))(state)
     jax.block_until_ready(final.positions)
+    # Overflow contract: verify no static neighbor capacity was exceeded
+    # during the trajectory (checked between scanned segments, never inside).
+    model.check_overflow(final.positions, box, cells)
     print(f'[5] 1000 Langevin steps ({len(masses)} atoms) in '
           f'{time.time() - t0:.1f} s; energy {float(energies[0]):.3f} -> '
           f'{float(energies[-1]):.3f}, finite: '

@@ -1,3 +1,4 @@
 from .integrators import (MDState, initialize, langevin_baoab, velocity_verlet,
-                          run_md, run_md_sticky, kinetic_energy)
+                          run_md, run_md_sticky, kinetic_energy,
+                          OverflowStats)
 from .checkpoint import save_checkpoint, load_checkpoint

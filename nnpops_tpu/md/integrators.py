@@ -81,9 +81,36 @@ def velocity_verlet(force_fn: ForceFn, masses: Array, dt: float) -> Callable[[MD
     return step
 
 
+class OverflowStats(NamedTuple):
+    """Maximum TRUE capacity counts observed over a sticky-MD run — the
+    production consumer of the soft-failure overflow contract
+    (getNeighborPairs.py:77-83 / SURVEY §7.3 "check between scan segments").
+    Compare against the static capacities on the host after each scanned
+    call; any count above its capacity means neighbors were silently dropped
+    and the segment must be re-run with larger capacities."""
+    max_neighbors: Array        # [] int32, vs CellList.capacity
+    max_cell_occupancy: Array   # [] int32, vs CellList.cell_capacity
+    max_extra: Array            # [] int32, from overflow_fn (e.g. angular)
+
+    def check(self, capacity: int, cell_capacity: int,
+              extra_capacity: Optional[int] = None) -> None:
+        bad = {}
+        if int(self.max_neighbors) > capacity:
+            bad['max_neighbors'] = (int(self.max_neighbors), capacity)
+        if int(self.max_cell_occupancy) > cell_capacity:
+            bad['max_cell_occupancy'] = (int(self.max_cell_occupancy),
+                                         cell_capacity)
+        if extra_capacity is not None and int(self.max_extra) > extra_capacity:
+            bad['max_extra'] = (int(self.max_extra), extra_capacity)
+        if bad:
+            raise RuntimeError(
+                f'neighbor capacity overflow during MD (true > capacity): {bad}')
+
+
 def run_md_sticky(select_fn: Callable, force_fn_of_sel: Callable,
                   integrator_factory: Callable, state: MDState,
-                  num_steps: int, refresh_every: int):
+                  num_steps: int, refresh_every: int,
+                  overflow_fn: Optional[Callable] = None):
     """Slot-sticky (Verlet-list) MD: refresh the neighbor selection every
     ``refresh_every`` steps, reuse it in between.
 
@@ -101,20 +128,35 @@ def run_md_sticky(select_fn: Callable, force_fn_of_sel: Callable,
       state: initial MDState.
       num_steps: total steps (a multiple of refresh_every).
       refresh_every: steps per selection refresh.
+      overflow_fn: optional (selection, positions) -> int32 extra true-count
+        to track (e.g. the angular neighbor count,
+        ``ops.aev.max_angular_neighbors``); recorded in ``stats.max_extra``.
 
-    Returns: (final_state, per-block energies).
+    Returns: (final_state, per-block energies, OverflowStats). Call
+    ``stats.check(capacity, cell_capacity)`` on the host after the scan.
     """
-    def block(state, _):
+    def block(carry, _):
+        state, stats = carry
         sel = select_fn(state.positions)
+        stats = OverflowStats(
+            jnp.maximum(stats.max_neighbors, sel.max_neighbors),
+            jnp.maximum(stats.max_cell_occupancy, sel.max_cell_occupancy),
+            jnp.maximum(stats.max_extra,
+                        overflow_fn(sel, state.positions) if overflow_fn
+                        else jnp.zeros((), jnp.int32)))
         force_fn = lambda pos: force_fn_of_sel(sel, pos)
         step = integrator_factory(force_fn)
         energy, forces = force_fn(state.positions)
         state = state._replace(energy=energy, forces=forces)
         state = jax.lax.fori_loop(0, refresh_every, lambda _, s: step(s), state)
-        return state, state.energy
+        return (state, stats), state.energy
 
     num_blocks = num_steps // refresh_every
-    return jax.lax.scan(block, state, None, length=num_blocks)
+    zero = jnp.zeros((), jnp.int32)
+    init = (state, OverflowStats(zero, zero, zero))
+    (final, stats), energies = jax.lax.scan(block, init, None,
+                                            length=num_blocks)
+    return final, energies, stats
 
 
 def kinetic_energy(state: MDState, masses: Array) -> Array:

@@ -162,6 +162,45 @@ class ANIModel:
             params, positions, box, cell_list)
         return e, -grad
 
+    def overflow_counts(self, positions: Array, box: Array, cell_list,
+                        sel=None) -> dict:
+        """TRUE capacity counts for every static bound in the fused pipeline,
+        as data (jit-safe). Callers compare against the capacities between
+        scan segments — the production-side consumer of the soft-failure
+        contract (getNeighborPairs.py:77-83): any count above its capacity
+        means contributions were silently dropped and the step must be
+        re-planned with larger capacities.
+
+        Returns dict with 'max_neighbors' (vs ``cell_list.capacity``),
+        'max_cell_occupancy' (vs ``cell_list.cell_capacity``) and
+        'max_angular' (vs ``angular_capacity``)."""
+        from ..ops.aev import max_angular_neighbors
+        if sel is not None:
+            payload = cell_list.payload_from_selection(positions, box, sel)
+        else:
+            payload = cell_list.build_payload(positions, box)
+        return {
+            'max_neighbors': payload.max_neighbors,
+            'max_cell_occupancy': payload.max_cell_occupancy,
+            'max_angular': max_angular_neighbors(payload,
+                                                 self.basis.angular_cutoff),
+        }
+
+    def check_overflow(self, positions: Array, box: Array, cell_list,
+                       sel=None) -> None:
+        """Host-side assertion that no static capacity overflowed (call
+        outside jit, between scanned segments)."""
+        counts = {k: int(v) for k, v in
+                  self.overflow_counts(positions, box, cell_list, sel).items()}
+        caps = {'max_neighbors': cell_list.capacity,
+                'max_cell_occupancy': cell_list.cell_capacity,
+                'max_angular': self.angular_capacity or cell_list.capacity}
+        bad = {k: (counts[k], caps[k]) for k in counts if counts[k] > caps[k]}
+        if bad:
+            raise RuntimeError(
+                f'neighbor capacity overflow (true count > capacity): {bad}; '
+                'rebuild with larger capacities (nnpops_tpu.native.plan_capacities)')
+
     def energy_from_selection(self, params: ANIParams, positions: Array,
                               box: Array, cell_list, sel) -> Array:
         """Energy against a frozen neighbor selection (slot-sticky stepping):

@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..neighbors.cell_list import CellList, neighbor_list_to_pairs
-from ..neighbors.pairs import MaskedPairs
+from ..neighbors.cell_list import CellList, payload_to_half_pairs
 from ..ops.pme import PME, pme_direct_energy, pme_reciprocal_energy, pme_self_energy
 from .ani import ANIModel, ANIParams
 
@@ -41,18 +40,7 @@ class ANIWithPME:
         e_ani = self.ani.energy_fused(params, positions, box, cell_list)
         # Reuse the cell-list neighbors for the direct-space pair sum.
         payload = cell_list.build_payload(positions, box)
-        n, k = payload.distances.shape
-        atom1 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                                 (n, k))
-        mask = (payload.mask & (payload.indices > atom1)
-                & (payload.distances < self.pme_cutoff))
-        pairs = MaskedPairs(
-            atom1=jnp.where(mask, atom1, 0).reshape(-1),
-            atom2=jnp.where(mask, payload.indices, 0).reshape(-1),
-            deltas=jnp.where(mask[..., None], payload.deltas, 0.0).reshape(-1, 3),
-            distances=jnp.where(mask, payload.distances, 0.0).reshape(-1),
-            mask=mask.reshape(-1),
-            num_pairs=jnp.sum(mask.astype(jnp.int32)))
+        pairs = payload_to_half_pairs(payload, self.pme_cutoff)
         e_dir = pme_direct_energy(positions, charges, pairs,
                                   self.pme.exclusions, self.pme.config.alpha,
                                   self.pme.config.coulomb)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import minimum_image
+from ..geometry import minimum_image, validate_box
 from ..ops.compaction import compact_rows
 from .pairs import MaskedPairs
 
@@ -113,10 +113,18 @@ class CellList:
     @classmethod
     def create(cls, box, cutoff: float, capacity: int,
                cell_capacity: Optional[int] = None,
-               density_estimate: float = 0.1) -> 'CellList':
+               density_estimate: float = 0.1,
+               validate: bool = True) -> 'CellList':
         """Size the decomposition for a box. Falls back to a degenerate
         single-cell list (= all-pairs) when the box is under 3 cells wide
-        along an axis, where the 27-stencil would alias."""
+        along an axis, where the 27-stencil would alias.
+
+        ``validate`` enforces the reduced-form / half-box preconditions at
+        this API boundary (the reference does the same at every entry,
+        getNeighborPairsCPU.cpp:40-48) — a box that violates them would
+        silently produce wrong minimum images downstream."""
+        if validate:
+            validate_box(box, cutoff)
         widths = _perpendicular_widths(box)
         ncells = np.maximum(np.floor(widths / cutoff).astype(int), 1)
         if (ncells < 3).any():
@@ -440,6 +448,29 @@ class CellList:
         kept = jnp.where(kept_valid, take, n)
         return NeighborList(kept.astype(jnp.int32), jnp.max(counts),
                             jnp.asarray(n, jnp.int32))
+
+
+def payload_to_half_pairs(payload: NeighborPayload,
+                          cutoff: Optional[float] = None) -> MaskedPairs:
+    """Derive a masked half pair list (i < j) from a payload-carrying
+    neighbor list — the O(N) replacement for the O(N^2) triangular
+    enumeration in PME direct space (pme.py:163-165 builds its pair list from
+    getNeighborPairs; here the cell list provides it). Deltas/distances are
+    reused from the payload (no re-gather)."""
+    n, k = payload.distances.shape
+    atom1 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    mask = payload.mask & (payload.indices > atom1)
+    if cutoff is not None:
+        mask = mask & (payload.distances < cutoff)
+    return MaskedPairs(
+        atom1=jnp.where(mask, atom1, 0).reshape(-1),
+        atom2=jnp.where(mask, payload.indices, 0).reshape(-1),
+        # Payload deltas point atom -> neighbor; MaskedPairs' convention is
+        # atom1 <- atom2 (pairs.py:146), hence the sign flip.
+        deltas=jnp.where(mask[..., None], -payload.deltas, 0.0).reshape(-1, 3),
+        distances=jnp.where(mask, payload.distances, 0.0).reshape(-1),
+        mask=mask.reshape(-1),
+        num_pairs=jnp.sum(mask.astype(jnp.int32)))
 
 
 def neighbor_list_to_pairs(nlist: NeighborList, positions: Array,

@@ -31,9 +31,22 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import minimum_image
+from ..geometry import minimum_image, validate_box
 
 Array = jnp.ndarray
+
+
+def _validate_box_if_concrete(box_vectors, cutoff: float) -> None:
+    """Enforce the reduced-form / half-box preconditions of the reference
+    (getNeighborPairsCPU.cpp:40-48) whenever the box is a concrete value.
+    Inside jit the box is a tracer and the check is skipped — the caller is
+    expected to have validated the geometry host-side (e.g. CellList.create,
+    PME.compute_direct do)."""
+    if box_vectors is None or isinstance(box_vectors, jax.core.Tracer):
+        return
+    if hasattr(box_vectors, 'size') and not box_vectors.size:
+        return
+    validate_box(box_vectors, cutoff)
 
 
 def _triangular_pairs(num_atoms: int) -> Tuple[Array, Array]:
@@ -81,6 +94,7 @@ def get_neighbor_pairs(
     trade-off as the reference's CUDA-graph-incompatible check,
     getNeighborPairsCUDA.cu:156-160).
     """
+    _validate_box_if_concrete(box_vectors, cutoff)
     result = _get_neighbor_pairs_impl(positions, float(cutoff), int(max_num_pairs),
                                       box_vectors)
     if check_errors and max_num_pairs > 0:
@@ -156,6 +170,7 @@ def neighbor_pairs_masked(
     box_vectors: Optional[Array] = None,
 ) -> MaskedPairs:
     """All-pairs (or capacity-compacted) masked pair list without NaNs."""
+    _validate_box_if_concrete(box_vectors, cutoff)
     num_atoms = positions.shape[0]
     rows, cols = _triangular_pairs(num_atoms)
     deltas = positions[rows] - positions[cols]

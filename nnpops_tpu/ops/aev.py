@@ -247,6 +247,18 @@ def compute_aev(
     return AEV(radial.reshape(num_centers, -1), angular.reshape(num_centers, -1))
 
 
+def max_angular_neighbors(payload, angular_cutoff: float) -> Array:
+    """TRUE per-atom maximum of neighbors within the angular cutoff — the
+    observable counterpart of the ``angular_capacity`` truncation in
+    :func:`compute_aev_from_payload` (which keeps only the K_ang nearest and
+    silently drops the rest). Compare against the capacity between scan
+    segments, exactly like ``NeighborList.max_neighbors`` vs K — the
+    ``number_found_pairs`` contract (getNeighborPairs.py:77-83) extended to
+    the angular list."""
+    within = payload.mask & (payload.distances < angular_cutoff)
+    return jnp.max(jnp.sum(within.astype(jnp.int32), axis=1))
+
+
 def _selection_matrix(idx: np.ndarray, k: int, dtype) -> Array:
     """Constant 0/1 matrix S with S[t, idx[t]] = 1 — static reindexing
     expressed as an MXU matmul instead of a gather."""

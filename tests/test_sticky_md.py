@@ -60,13 +60,13 @@ def test_sticky_matches_per_step_rebuild():
                         jax.random.PRNGKey(3))
 
     # Reference: refresh the selection EVERY step.
-    final_a, e_a = jax.jit(lambda s: run_md_sticky(
+    final_a, e_a, stats_a = jax.jit(lambda s: run_md_sticky(
         lambda p: cl.select(p, box), force_fn_of_sel,
         lambda ff: langevin_baoab(ff, masses, dt, friction, kT),
         s, num_steps=8, refresh_every=1))(state0)
 
     # Sticky: one selection per 4-step block.
-    final_b, e_b = jax.jit(lambda s: run_md_sticky(
+    final_b, e_b, stats_b = jax.jit(lambda s: run_md_sticky(
         lambda p: cl.select(p, box), force_fn_of_sel,
         lambda ff: langevin_baoab(ff, masses, dt, friction, kT),
         s, num_steps=8, refresh_every=4))(state0)
