@@ -81,18 +81,42 @@ class ANIModel:
     # inside the reference's 5e-3 force gate but outside its 5e-7 energy
     # gate, hence opt-in.
     aev_bf16: bool = False
+    # AEV implementation for the cell-list paths: 'payload' (round-1 one-hot
+    # contraction pipeline) or 'blocked' (species-blocked static slots — no
+    # one-hots, frozen angular sub-list; see neighbors/blocked.py).
+    aev_impl: str = 'payload'
+    # Static per-species lane layout (required for aev_impl='blocked').
+    blocked_layout: Optional['BlockedLayout'] = None
 
     @classmethod
     def from_atomic_numbers(cls, atomic_numbers, basis: Optional[ANIBasis] = None,
                             elements: Sequence[int] = ANI2X_ELEMENTS,
                             angular_capacity: Optional[int] = None,
                             aev_chunk_size: Optional[int] = None,
-                            aev_bf16: bool = False) -> 'ANIModel':
+                            aev_bf16: bool = False,
+                            aev_impl: str = 'payload',
+                            blocked_layout=None) -> 'ANIModel':
         basis = basis if basis is not None else ANIBasis.ani2x()
         sp = species_from_atomic_numbers(atomic_numbers, elements)
         return cls(basis=basis, species=tuple(int(s) for s in sp),
                    angular_capacity=angular_capacity,
-                   aev_chunk_size=aev_chunk_size, aev_bf16=aev_bf16)
+                   aev_chunk_size=aev_chunk_size, aev_bf16=aev_bf16,
+                   aev_impl=aev_impl, blocked_layout=blocked_layout)
+
+    def with_blocked_layout(self, positions, box, margin: float = 1.2,
+                            lane_multiple: int = 1,
+                            impl: str = 'blocked') -> 'ANIModel':
+        """Return a copy configured for the species-blocked AEV path, with
+        per-species capacities planned from this configuration (the blocked
+        analog of native.plan_capacities). ``impl``: 'blocked' (XLA) or
+        'pallas' (fused VMEM kernel for the angular block)."""
+        from ..neighbors.blocked import plan_blocked_layout
+        layout = plan_blocked_layout(
+            positions, box, self.species_array, self.basis.radial_cutoff,
+            self.basis.angular_cutoff, self.basis.num_species,
+            margin=margin, lane_multiple=lane_multiple)
+        return dataclasses.replace(self, aev_impl=impl,
+                                   blocked_layout=layout)
 
     @property
     def num_atoms(self) -> int:
@@ -136,6 +160,18 @@ class ANIModel:
         eye = np.eye(self.basis.num_species, dtype=np.float32)
         return eye[self.species_array]
 
+    def select(self, positions: Array, box: Array, cell_list):
+        """Freeze a neighbor selection for sticky (Verlet-skin) stepping —
+        the type matches ``aev_impl`` ('payload' -> SlotSelection,
+        'blocked' -> BlockedSelection)."""
+        if self.aev_impl in ('blocked', 'pallas'):
+            from ..neighbors.blocked import select_blocked
+            return select_blocked(cell_list, positions, box,
+                                  self.species_array, self.blocked_layout,
+                                  self.basis.radial_cutoff,
+                                  self.basis.angular_cutoff)
+        return cell_list.select(positions, box)
+
     def energy_fused(self, params: ANIParams, positions: Array, box: Array,
                      cell_list) -> Array:
         """Total energy via the payload-carrying neighbor pipeline: the cell
@@ -144,6 +180,10 @@ class ANIModel:
         CellList.build_payload), then the gather-free AEV and the grouped
         ensemble run on top. ~10x faster per MD step on TPU than the
         index-based path at water-box scale."""
+        if self.aev_impl in ('blocked', 'pallas'):
+            return self.energy_from_selection(
+                params, positions, box, cell_list,
+                self.select(positions, box, cell_list))
         from ..ops.aev import compute_aev_from_payload
         payload = cell_list.build_payload(positions, box,
                                           jnp.asarray(self.species_onehot))
@@ -173,7 +213,13 @@ class ANIModel:
 
         Returns dict with 'max_neighbors' (vs ``cell_list.capacity``),
         'max_cell_occupancy' (vs ``cell_list.cell_capacity``) and
-        'max_angular' (vs ``angular_capacity``)."""
+        'max_angular' (vs ``angular_capacity``). On the blocked path the
+        neighbor/angular entries are per-present-species arrays instead."""
+        if self.aev_impl in ('blocked', 'pallas'):
+            bsel = self.select(positions, box, cell_list)
+            return {'max_neighbors': bsel.max_rad,
+                    'max_cell_occupancy': bsel.max_cell_occupancy,
+                    'max_angular': bsel.max_ang}
         from ..ops.aev import max_angular_neighbors
         if sel is not None:
             payload = cell_list.payload_from_selection(positions, box, sel)
@@ -190,12 +236,21 @@ class ANIModel:
                        sel=None) -> None:
         """Host-side assertion that no static capacity overflowed (call
         outside jit, between scanned segments)."""
-        counts = {k: int(v) for k, v in
-                  self.overflow_counts(positions, box, cell_list, sel).items()}
-        caps = {'max_neighbors': cell_list.capacity,
-                'max_cell_occupancy': cell_list.cell_capacity,
-                'max_angular': self.angular_capacity or cell_list.capacity}
-        bad = {k: (counts[k], caps[k]) for k in counts if counts[k] > caps[k]}
+        raw = self.overflow_counts(positions, box, cell_list, sel)
+        if self.aev_impl in ('blocked', 'pallas'):
+            counts = {k: np.asarray(v) for k, v in raw.items()}
+            caps = {'max_neighbors': np.asarray(self.blocked_layout.rad_caps),
+                    'max_cell_occupancy': cell_list.cell_capacity,
+                    'max_angular': np.asarray(self.blocked_layout.ang_caps)}
+            bad = {k: (counts[k].tolist(), np.asarray(caps[k]).tolist())
+                   for k in counts if np.any(counts[k] > caps[k])}
+        else:
+            counts = {k: int(v) for k, v in raw.items()}
+            caps = {'max_neighbors': cell_list.capacity,
+                    'max_cell_occupancy': cell_list.cell_capacity,
+                    'max_angular': self.angular_capacity or cell_list.capacity}
+            bad = {k: (counts[k], caps[k]) for k in counts
+                   if counts[k] > caps[k]}
         if bad:
             raise RuntimeError(
                 f'neighbor capacity overflow (true count > capacity): {bad}; '
@@ -206,14 +261,25 @@ class ANIModel:
         """Energy against a frozen neighbor selection (slot-sticky stepping):
         only the differentiable payload phase runs — build the cell list with
         cutoff + skin and refresh ``sel`` every few steps
-        (md.run_md_sticky)."""
-        from ..ops.aev import compute_aev_from_payload
-        payload = cell_list.payload_from_selection(
-            positions, box, sel, jnp.asarray(self.species_onehot))
-        cap = self.angular_capacity or cell_list.capacity
-        cdt = jnp.bfloat16 if self.aev_bf16 else None
-        radial, angular = compute_aev_from_payload(payload, self.basis, cap,
-                                                   self.aev_chunk_size, cdt)
+        (md.run_md_sticky). ``sel`` may be a SlotSelection (aev_impl
+        'payload') or a BlockedSelection (aev_impl 'blocked')."""
+        from ..neighbors.blocked import BlockedSelection
+        if isinstance(sel, BlockedSelection):
+            from ..neighbors.blocked import payload_from_blocked
+            from ..ops.aev_blocked import compute_aev_blocked
+            payload = payload_from_blocked(cell_list, positions, box, sel)
+            impl = 'pallas' if self.aev_impl == 'pallas' else 'xla'
+            radial, angular = compute_aev_blocked(
+                payload, self.basis, self.blocked_layout, self.aev_chunk_size,
+                angular_impl=impl)
+        else:
+            from ..ops.aev import compute_aev_from_payload
+            payload = cell_list.payload_from_selection(
+                positions, box, sel, jnp.asarray(self.species_onehot))
+            cap = self.angular_capacity or cell_list.capacity
+            cdt = jnp.bfloat16 if self.aev_bf16 else None
+            radial, angular = compute_aev_from_payload(
+                payload, self.basis, cap, self.aev_chunk_size, cdt)
         feat = jnp.concatenate([radial, angular], axis=1)
         e_nn = ensemble_energy(params.ensemble, feat, self.grouping)
         sae = jnp.sum(params.self_energies[jnp.asarray(self.species_array)])

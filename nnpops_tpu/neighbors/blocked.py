@@ -1,0 +1,421 @@
+"""Species-blocked static neighbor slots (TPU-first AEV data layout).
+
+The reference scatters per-pair contributions into per-species (radial) and
+per-species-pair (angular) accumulators with atomics keyed on runtime species
+lookups (CpuANISymmetryFunctions.cpp:141-147, :183-190;
+CudaANISymmetryFunctions.cu:223, :286). Round-1 of this rebuild expressed the
+same scatter as one-hot MXU contractions — measured at ~2% MXU utilization
+(NOTES_PERF.md), the dominant cost of the 26k-atom step.
+
+This module removes the species machinery from the per-step path entirely:
+each atom's neighbor list is packed into **static per-species lane ranges**
+(species s occupies lanes ``[off_s, off_s + K_s)``), so the species of every
+lane is known at trace time. The per-species radial reduction and the
+per-species-pair angular reduction then become *static slice sums* — no
+one-hot operands, no species table lookups, no per-step compaction sort:
+
+* the per-species compaction keys are sorted once per selection refresh
+  (Verlet-skin sticky stepping, like SlotSelection);
+* the angular sub-list (neighbors within the angular cutoff + skin) is ALSO
+  frozen per refresh, killing the per-step [N, K] distance sort of the
+  round-1 pipeline;
+* the per-step work is exactly: one packed payload gather + pure elementwise
+  math + static reductions.
+
+Capacity overflow stays observable data, per species (``max_rad``/``max_ang``
+vs the layout capacities) — the ``number_found_pairs`` soft-failure contract
+(getNeighborPairs.py:77-83) extended per species block.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import minimum_image
+from .cell_list import CellList
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockedLayout:
+    """Static per-species lane layout of a blocked neighbor list.
+
+    present: species ids that occur in the system (static — an MD system's
+      species assignment never changes; absent species get zero lanes).
+    rad_caps / ang_caps: per-present-species lane counts for the radial
+      (full-cutoff) and angular (angular-cutoff) neighbor lists.
+    """
+    num_species: int
+    present: Tuple[int, ...]
+    rad_caps: Tuple[int, ...]
+    ang_caps: Tuple[int, ...]
+
+    def __post_init__(self):
+        if not (len(self.present) == len(self.rad_caps) == len(self.ang_caps)):
+            raise ValueError('present/rad_caps/ang_caps must align')
+
+    @property
+    def rad_total(self) -> int:
+        return int(sum(self.rad_caps))
+
+    @property
+    def ang_total(self) -> int:
+        return int(sum(self.ang_caps))
+
+    @property
+    def rad_offsets(self) -> Tuple[int, ...]:
+        return tuple(int(x) for x in np.cumsum((0,) + self.rad_caps)[:-1])
+
+    @property
+    def ang_offsets(self) -> Tuple[int, ...]:
+        return tuple(int(x) for x in np.cumsum((0,) + self.ang_caps)[:-1])
+
+
+def plan_blocked_layout(positions, box, species, radial_cutoff: float,
+                        angular_cutoff: float, num_species: int,
+                        margin: float = 1.2,
+                        lane_multiple: int = 1) -> BlockedLayout:
+    """Size a BlockedLayout from true per-species neighbor counts.
+
+    Host-side, one-time (like ``native.plan_capacities``): exact max
+    per-species neighbor counts for this configuration, scaled by ``margin``.
+    ``lane_multiple`` rounds each species block up (e.g. 8 for sublane
+    alignment in the Pallas kernels).
+    """
+    species = np.asarray(species)
+    present = tuple(int(s) for s in np.unique(species))
+    counts_r, counts_a = per_species_neighbor_counts(
+        positions, box, species, present, radial_cutoff, angular_cutoff)
+
+    def size(c):
+        c = int(np.ceil(c * margin)) + 1
+        return int(-(-c // lane_multiple) * lane_multiple)
+
+    return BlockedLayout(num_species=num_species, present=present,
+                         rad_caps=tuple(size(c) for c in counts_r),
+                         ang_caps=tuple(size(c) for c in counts_a))
+
+
+def per_species_neighbor_counts(positions, box, species, present,
+                                radial_cutoff: float, angular_cutoff: float,
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+    """True max per-species neighbor counts (radial & angular windows).
+
+    Cell-binned O(N) host pass (numpy); used by the layout planner and by
+    overflow re-planning.
+    """
+    positions = np.asarray(positions, np.float64)
+    species = np.asarray(species)
+    n = len(positions)
+    rc = float(radial_cutoff)
+    if box is not None:
+        b = np.asarray(box, np.float64)
+        widths = 1.0 / np.linalg.norm(np.linalg.inv(b), axis=0)
+        nc = np.maximum((widths // rc).astype(int), 1)
+        if (nc < 3).any():
+            nc = np.array([1, 1, 1])
+    else:
+        b = None
+        nc = np.array([1, 1, 1])
+    ncell = int(np.prod(nc))
+    if ncell == 1:
+        cell_of = np.zeros(n, np.int64)
+        cells = {0: np.arange(n)}
+        stencil = {0: [0]}
+    else:
+        inv = np.linalg.inv(b)
+        frac = positions @ inv
+        frac -= np.floor(frac)
+        c3 = np.minimum((frac * nc).astype(int), nc - 1)
+        cell_of = (c3[:, 0] * nc[1] + c3[:, 1]) * nc[2] + c3[:, 2]
+        cells = {}
+        order = np.argsort(cell_of, kind='stable')
+        bounds = np.searchsorted(cell_of[order], np.arange(ncell + 1))
+        for c in range(ncell):
+            cells[c] = order[bounds[c]:bounds[c + 1]]
+        stencil = {}
+        for c in range(ncell):
+            cz = c % nc[2]
+            cy = (c // nc[2]) % nc[1]
+            cx = c // (nc[1] * nc[2])
+            ids = set()
+            for ox in (-1, 0, 1):
+                for oy in (-1, 0, 1):
+                    for oz in (-1, 0, 1):
+                        ids.add((((cx + ox) % nc[0]) * nc[1]
+                                 + (cy + oy) % nc[1]) * nc[2]
+                                + (cz + oz) % nc[2])
+            stencil[c] = sorted(ids)
+    sp_index = {s: i for i, s in enumerate(present)}
+    counts_r = np.zeros(len(present), np.int64)
+    counts_a = np.zeros(len(present), np.int64)
+    ra2 = float(angular_cutoff) ** 2
+    rc2 = rc * rc
+    for c, atoms in cells.items():
+        if len(atoms) == 0:
+            continue
+        cand = np.concatenate([cells[q] for q in stencil[c]])
+        delta = positions[cand][None, :, :] - positions[atoms][:, None, :]
+        if b is not None:
+            delta = delta - np.round(delta[..., 2:3] / b[2, 2]) * b[2]
+            delta = delta - np.round(delta[..., 1:2] / b[1, 1]) * b[1]
+            delta = delta - np.round(delta[..., 0:1] / b[0, 0]) * b[0]
+        d2 = (delta ** 2).sum(-1)
+        d2[atoms[:, None] == cand[None, :]] = np.inf
+        sp_cand = species[cand]
+        for s in present:
+            m = sp_cand == s
+            i = sp_index[s]
+            counts_r[i] = max(counts_r[i], int((d2[:, m] < rc2).sum(1).max()))
+            counts_a[i] = max(counts_a[i], int((d2[:, m] < ra2).sum(1).max()))
+    return counts_r, counts_a
+
+
+class BlockedSelection(NamedTuple):
+    """A frozen species-blocked neighbor selection (cell-slot space).
+
+    Reusable across MD steps while no atom has moved more than half the skin
+    (build the CellList with cutoff + skin) — the Verlet contract, same as
+    SlotSelection, plus a frozen angular sub-list.
+    """
+    order: Array           # [N] cell-sorted atom order at freeze time
+    slot_of_sorted: Array  # [N] slot id per sorted atom (cc+1 = dropped)
+    inv_order: Array       # [N] sorted position of each original atom
+    slot_to_atom: Array    # [cc+1] original atom id per slot (N = empty)
+    nbr_rad: Array         # [N, rad_total] neighbor slot ids (cc = pad)
+    rad_mask: Array        # [N, rad_total]
+    nbr_ang: Array         # [N, ang_total]
+    ang_mask: Array        # [N, ang_total]
+    max_rad: Array         # [n_present] true per-species radial counts
+    max_ang: Array         # [n_present] true per-species angular counts
+    max_cell_occupancy: Array
+
+    def did_overflow(self, layout: BlockedLayout, cell_capacity: int) -> Array:
+        rad_over = jnp.any(self.max_rad > jnp.asarray(layout.rad_caps))
+        ang_over = jnp.any(self.max_ang > jnp.asarray(layout.ang_caps))
+        return (rad_over | ang_over
+                | (self.max_cell_occupancy > cell_capacity))
+
+
+class BlockedPayload(NamedTuple):
+    """Per-step differentiable payload for the blocked lists.
+
+    All arrays in ORIGINAL atom order; padding lanes hold exact zeros.
+    Lane ranges follow the BlockedLayout (species of each lane is static).
+    """
+    rad_deltas: Array      # [N, rad_total, 3]
+    rad_r: Array           # [N, rad_total]
+    rad_mask: Array        # [N, rad_total]
+    ang_deltas: Array      # [N, ang_total, 3]
+    ang_r: Array           # [N, ang_total]
+    ang_mask: Array        # [N, ang_total]
+    max_rad: Array
+    max_ang: Array
+    max_cell_occupancy: Array
+
+
+def select_blocked(cell_list: CellList, positions: Array, box: Array,
+                   species: np.ndarray, layout: BlockedLayout,
+                   radial_cutoff: float, angular_cutoff: float,
+                   ) -> BlockedSelection:
+    """Freeze a species-blocked neighbor selection.
+
+    The cell list's cutoff may exceed ``radial_cutoff`` by a Verlet skin; the
+    angular sub-list window is widened by the same skin so both lists stay
+    valid until any atom moves half the skin.
+
+    Everything here runs under ``stop_gradient`` (selection is a discrete
+    choice; gradients flow only through the payload phase).
+    """
+    positions = jax.lax.stop_gradient(positions)
+    box = jax.lax.stop_gradient(box)
+    n = positions.shape[0]
+    if not cell_list.use_cells:
+        return _select_blocked_dense(cell_list, positions, box, species,
+                                     layout, radial_cutoff, angular_cutoff)
+    nx, ny, nz = cell_list.ncells
+    ncells = cell_list.num_cells
+    ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+    inv = jnp.linalg.inv(box)
+    frac = positions @ inv
+    frac = frac - jnp.floor(frac)
+    cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
+    cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
+
+    order = jnp.argsort(cell_id, stable=True)
+    sorted_ids = cell_id[order]
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones((1,), bool),
+                               sorted_ids[1:] != sorted_ids[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(new_seg, idx_n, 0))
+    rank_sorted = idx_n - seg_start
+    occupancy = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell_id,
+                                    num_segments=ncells)
+    max_occ = jnp.max(occupancy)
+
+    c = cell_list.cell_capacity
+    cc = ncells * c
+    slot_of_sorted = jnp.where(rank_sorted < c,
+                               sorted_ids * c + rank_sorted, cc + 1)
+    pos_sorted = positions[order]
+    pos_slots = jnp.zeros((cc, 3), positions.dtype)
+    pos_slots = pos_slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
+    present_slots = jnp.zeros((cc,), bool).at[slot_of_sorted].set(
+        True, mode='drop')
+    # Species per slot (int32; padding slots get num_species).
+    sp_sorted = jnp.asarray(np.asarray(species, np.int32))[order]
+    sp_slots = jnp.full((cc,), layout.num_species, jnp.int32)
+    sp_slots = sp_slots.at[slot_of_sorted].set(sp_sorted, mode='drop')
+
+    stencil = jnp.asarray(cell_list._stencil())            # [cells, 27]
+    kk = 27 * c
+    cand_slot = (stencil[:, :, None] * c
+                 + jnp.arange(c, dtype=jnp.int32)).reshape(ncells, kk)
+    # Coarse block gathers (cell neighborhoods), large axis last — see
+    # CellList.select for the layout rationale.
+    cand_pos_cells = pos_slots.reshape(ncells, c, 3)[stencil]
+    cand_pos_cells = cand_pos_cells.reshape(ncells, kk, 3).transpose(0, 2, 1)
+    present_cells = present_slots.reshape(ncells, c)[stencil].reshape(ncells, kk)
+    sp_cells = sp_slots.reshape(ncells, c)[stencil].reshape(ncells, kk)
+
+    cand_pos = cand_pos_cells[sorted_ids]                  # [N, 3, kk]
+    cand_present = present_cells[sorted_ids]               # [N, kk]
+    cand_sp = sp_cells[sorted_ids]                         # [N, kk]
+    cand_slot_atom = cand_slot[sorted_ids]                 # [N, kk]
+
+    delta = cand_pos - pos_sorted[:, :, None]
+    dx, dy, dz = delta[:, 0, :], delta[:, 1, :], delta[:, 2, :]
+    s3 = jnp.round(dz / box[2, 2])
+    dx = dx - s3 * box[2, 0]
+    dy = dy - s3 * box[2, 1]
+    dz = dz - s3 * box[2, 2]
+    s2 = jnp.round(dy / box[1, 1])
+    dx = dx - s2 * box[1, 0]
+    dy = dy - s2 * box[1, 1]
+    dx = dx - jnp.round(dx / box[0, 0]) * box[0, 0]
+    d2 = dx * dx + dy * dy + dz * dz
+    not_self = cand_slot_atom != slot_of_sorted[:, None]
+    skin = cell_list.cutoff - radial_cutoff
+    valid = cand_present & (d2 < cell_list.cutoff ** 2) & not_self
+    ang_window = angular_cutoff + max(skin, 0.0)
+    valid_ang = cand_present & (d2 < ang_window * ang_window) & not_self
+
+    return _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
+                            cand_slot_atom, order, slot_of_sorted, idx_n,
+                            max_occ)
+
+
+def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
+                     cand_slot_atom, order, slot_of_sorted, idx_n, max_occ):
+    """Shared per-species packed-key compaction (cell and dense paths).
+
+    One int32 sort per (present species, radial|angular): valid species-s
+    candidates sort first by slot id; everything else is offset beyond every
+    valid value (the packed-key trick from CellList.select, per species).
+    """
+    nbr_rad, rad_masks = [], []
+    nbr_ang, ang_masks = [], []
+    max_rad, max_ang = [], []
+    for i, s in enumerate(layout.present):
+        is_s = cand_sp == s
+        for which, caps, nbrs, masks, maxes in (
+                ('rad', layout.rad_caps, nbr_rad, rad_masks, max_rad),
+                ('ang', layout.ang_caps, nbr_ang, ang_masks, max_ang)):
+            v = (valid if which == 'rad' else valid_ang) & is_s
+            k = caps[i]
+            packed = jnp.where(v, cand_slot_atom, cand_slot_atom + (cc + 1))
+            packed = jax.lax.sort(packed, dimension=1)[:, :k]
+            m = packed <= cc
+            nbrs.append(jnp.where(m, packed, cc))
+            masks.append(m)
+            maxes.append(jnp.max(jnp.sum(v.astype(jnp.int32), axis=1)))
+
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx_n, mode='drop')
+    slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
+    slot_to_atom = slot_to_atom.at[slot_of_sorted].set(
+        order.astype(jnp.int32), mode='drop')
+    return BlockedSelection(
+        order=order.astype(jnp.int32),
+        slot_of_sorted=slot_of_sorted.astype(jnp.int32),
+        inv_order=inv_order, slot_to_atom=slot_to_atom,
+        nbr_rad=jnp.concatenate(nbr_rad, axis=1),
+        rad_mask=jnp.concatenate(rad_masks, axis=1),
+        nbr_ang=jnp.concatenate(nbr_ang, axis=1),
+        ang_mask=jnp.concatenate(ang_masks, axis=1),
+        max_rad=jnp.stack(max_rad), max_ang=jnp.stack(max_ang),
+        max_cell_occupancy=max_occ)
+
+
+def _select_blocked_dense(cell_list: CellList, positions, box, species,
+                          layout, radial_cutoff, angular_cutoff):
+    """Degenerate single-cell path (small/nonperiodic systems): every atom is
+    a candidate of every other; slots are just atom ids (cc = n)."""
+    n = positions.shape[0]
+    cc = n
+    delta = positions[None, :, :] - positions[:, None, :]
+    delta = minimum_image(delta, box)
+    d2 = jnp.sum(delta * delta, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    skin = cell_list.cutoff - radial_cutoff
+    valid = (d2 < cell_list.cutoff ** 2) & ~eye
+    ang_window = angular_cutoff + max(skin, 0.0)
+    valid_ang = (d2 < ang_window * ang_window) & ~eye
+    cand_sp = jnp.broadcast_to(
+        jnp.asarray(np.asarray(species, np.int32))[None, :], (n, n))
+    cand_slot_atom = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    return _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
+                            cand_slot_atom, idx_n, idx_n, idx_n,
+                            jnp.asarray(n, jnp.int32))
+
+
+def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
+                         sel: BlockedSelection) -> BlockedPayload:
+    """The differentiable per-step phase: re-scatter current positions into
+    the frozen slots, fetch radial+angular neighbor positions with ONE packed
+    gather, recompute deltas/distances. No species features ride the payload
+    — the layout already encodes species statically."""
+    n = positions.shape[0]
+    pos_sorted = positions[sel.order]
+    if cell_list.use_cells:
+        cc = cell_list.num_cells * cell_list.cell_capacity
+        slots = jnp.zeros((cc + 1, 3), positions.dtype)
+        slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
+    else:
+        slots = jnp.concatenate(
+            [pos_sorted, jnp.zeros((1, 3), positions.dtype)], axis=0)
+    krt = sel.nbr_rad.shape[1]
+    both = jnp.concatenate([sel.nbr_rad, sel.nbr_ang], axis=1)
+    gathered = slots[both.reshape(-1)].reshape(n, both.shape[1], 3)
+
+    def finish(nbr_pos, mask):
+        deltas = minimum_image(nbr_pos - pos_sorted[:, None, :], box)
+        deltas = jnp.where(mask[..., None], deltas, 0.0)
+        r = jnp.sqrt(jnp.where(mask, jnp.sum(deltas * deltas, -1), 1.0))
+        return deltas, jnp.where(mask, r, 0.0)
+
+    rad_deltas, rad_r = finish(gathered[:, :krt], sel.rad_mask)
+    ang_deltas, ang_r = finish(gathered[:, krt:], sel.ang_mask)
+
+    io = sel.inv_order
+    return BlockedPayload(
+        rad_deltas=rad_deltas[io], rad_r=rad_r[io], rad_mask=sel.rad_mask[io],
+        ang_deltas=ang_deltas[io], ang_r=ang_r[io], ang_mask=sel.ang_mask[io],
+        max_rad=sel.max_rad, max_ang=sel.max_ang,
+        max_cell_occupancy=sel.max_cell_occupancy)
+
+
+def build_blocked_payload(cell_list: CellList, positions: Array, box: Array,
+                          species, layout: BlockedLayout,
+                          radial_cutoff: float, angular_cutoff: float,
+                          ) -> BlockedPayload:
+    """Select + payload in one call (non-sticky stepping)."""
+    sel = select_blocked(cell_list, positions, box, species, layout,
+                         radial_cutoff, angular_cutoff)
+    return payload_from_blocked(cell_list, positions, box, sel)

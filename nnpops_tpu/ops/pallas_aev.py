@@ -1,0 +1,360 @@
+"""Fused Pallas TPU kernel for the angular AEV over species-blocked lanes.
+
+This is the hand-scheduled version of the angular block of
+``ops.aev_blocked.compute_aev_blocked`` — same math (the reference angular
+symmetry function, CpuANISymmetryFunctions.cpp:183-190, TorchANI-mode 0.95
+dot scale :392-393, matched against the angular hot loop of
+CudaANISymmetryFunctions.cu:242-290 and its backprop :473-596), same species
+-pair-major static triple tables, but:
+
+* every intermediate ([B, T] pair quantities, the per-(rs,ts) product terms)
+  lives in VMEM — the XLA formulation materializes [N, T, 32]-class tensors
+  in HBM (1 GB-class at 26k atoms) and pays layout padding on every one;
+* the triple expansion runs as six [B, Kat] x [Kat, T] constant selection
+  matmuls on the MXU, and the species-pair reduction is a static lane-slice
+  sum — no one-hot operands anywhere;
+* the backward pass is a hand-derived VJP kernel (recompute strategy —
+  the reference's backpropAngularFunctions does exactly this on CUDA),
+  so nothing is saved between forward and backward except the inputs.
+
+Requires a factored angular grid (single eta/zeta — true for every ANI
+basis); the general per-function basis stays on the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ANIBasis
+from ..neighbors.blocked import BlockedLayout
+from .aev_blocked import triple_tables
+
+Array = jnp.ndarray
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _selection_np(idx: np.ndarray, k: int) -> np.ndarray:
+    sel = np.zeros((k, len(idx)), dtype=np.float32)   # [Kat, T]
+    sel[idx, np.arange(len(idx))] = 1.0
+    return sel
+
+
+@functools.lru_cache(maxsize=32)
+def _kernel_constants(basis: ANIBasis, layout: BlockedLayout,
+                      t_pad: int) -> Tuple:
+    tables = triple_tables(layout)
+    t = len(tables.jj)
+    tp = _round_up(max(t, 1), t_pad)
+    kat = layout.ang_total
+    selj = np.zeros((kat, tp), np.float32)
+    selk = np.zeros((kat, tp), np.float32)
+    selj[:, :t] = _selection_np(tables.jj, kat)
+    selk[:, :t] = _selection_np(tables.kk, kat)
+    return tables, tp, selj, selk
+
+
+def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
+                        block_size: int = 128,
+                        interpret: Optional[bool] = None):
+    """Build the fused angular-AEV function for one (basis, layout).
+
+    Returns ``fn(ang_deltas [N, Kat, 3], ang_mask [N, Kat] bool) ->
+    [N, n_seg * A]`` where segment s holds the (unscaled) angular sums of
+    ``triple_tables(layout).pair_ids[s]``; the caller applies the 2^(1-zeta)
+    scale and places segments into the full [P, A] layout (autodiff chains
+    through both). Differentiable in ``ang_deltas`` via a custom VJP kernel.
+    """
+    if basis.angular_rs_grid is None:
+        raise NotImplementedError(
+            'the Pallas angular kernel requires a factored angular grid '
+            '(ANIBasis.from_grids with single EtaA/Zeta)')
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    tables, tp, selj_np, selk_np = _kernel_constants(basis, layout, 128)
+    kat = layout.ang_total
+    n_seg = len(tables.pair_ids)
+    rs_grid = tuple(float(x) for x in basis.angular_rs_grid)
+    ts_grid = tuple(float(x) for x in basis.angular_thetas_grid)
+    n_rs, n_ts = len(rs_grid), len(ts_grid)
+    a_len = n_rs * n_ts
+    out_w = n_seg * a_len
+    eta = float(basis.angular_eta[0])
+    zeta = float(basis.angular_zeta[0])
+    ra = float(basis.angular_cutoff)
+    torchani = bool(basis.torchani)
+    segs = [(int(tables.seg_bounds[i]), int(tables.seg_bounds[i + 1]))
+            for i in range(n_seg)]
+    b = block_size
+
+    def pair_geometry(dx, dy, dz, m, selj, selk):
+        """Shared forward geometry on [B, Tp] arrays."""
+        f32 = jnp.float32
+        x1 = jnp.dot(dx, selj, preferred_element_type=f32)
+        y1 = jnp.dot(dy, selj, preferred_element_type=f32)
+        z1 = jnp.dot(dz, selj, preferred_element_type=f32)
+        x2 = jnp.dot(dx, selk, preferred_element_type=f32)
+        y2 = jnp.dot(dy, selk, preferred_element_type=f32)
+        z2 = jnp.dot(dz, selk, preferred_element_type=f32)
+        m1 = jnp.dot(m, selj, preferred_element_type=f32)
+        m2 = jnp.dot(m, selk, preferred_element_type=f32)
+        r1 = jnp.sqrt(x1 * x1 + y1 * y1 + z1 * z1 + (1.0 - m1))
+        r2 = jnp.sqrt(x2 * x2 + y2 * y2 + z2 * z2 + (1.0 - m2))
+        dot12 = x1 * x2 + y1 * y2 + z1 * z2
+        valid = (m1 * m2 * (r1 < ra).astype(jnp.float32)
+                 * (r2 < ra).astype(jnp.float32))
+        inv12 = 1.0 / (r1 * r2)
+        if torchani:
+            cos_t = jnp.clip(0.95 * dot12 * inv12, -0.95, 0.95)
+            sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+            cross = None
+        else:
+            cos_t = jnp.clip(dot12 * inv12, -1.0, 1.0)
+            cx = y1 * z2 - z1 * y2
+            cy = z1 * x2 - x1 * z2
+            cz = x1 * y2 - y1 * x2
+            cross = (cx, cy, cz)
+            sin_t = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz,
+                                         1e-12)) * inv12
+        rm = 0.5 * (r1 + r2)
+        fc1 = jnp.where(r1 < ra, 0.5 * jnp.cos(math.pi / ra * r1) + 0.5, 0.0)
+        fc2 = jnp.where(r2 < ra, 0.5 * jnp.cos(math.pi / ra * r2) + 0.5, 0.0)
+        return ((x1, y1, z1), (x2, y2, z2), r1, r2, dot12, valid, inv12,
+                cos_t, sin_t, cross, rm, fc1, fc2)
+
+    def cos_pows(cos_t, sin_t):
+        out = []
+        for ts in ts_grid:
+            cos_tm = cos_t * math.cos(ts) + sin_t * math.sin(ts)
+            base = jnp.maximum(1.0 + cos_tm, 1e-20)
+            out.append(jnp.exp(zeta * jnp.log(base)))
+        return out
+
+    def fwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, selj_ref, selk_ref,
+                   out_ref):
+        (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2
+         ) = pair_geometry(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
+                           selj_ref[:], selk_ref[:])
+        vf = valid * fc1 * fc2
+        cps = cos_pows(cos_t, sin_t)
+        for i_rs, rs in enumerate(rs_grid):
+            u = rm - rs
+            e = vf * jnp.exp(-eta * u * u)
+            for i_ts in range(n_ts):
+                w = e * cps[i_ts]
+                for i_seg, (t0, t1) in enumerate(segs):
+                    col = i_seg * a_len + i_rs * n_ts + i_ts
+                    out_ref[:, col] = jnp.sum(w[:, t0:t1], axis=1)
+
+    def bwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, g_ref, selj_ref, selk_ref,
+                   segmask_ref, ddx_ref, ddy_ref, ddz_ref):
+        dx, dy, dz, m = dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:]
+        selj, selk = selj_ref[:], selk_ref[:]
+        (d1, d2, r1, r2, dot12, valid, inv12, cos_t, sin_t, cross, rm,
+         fc1, fc2) = pair_geometry(dx, dy, dz, m, selj, selk)
+        x1, y1, z1 = d1
+        x2, y2, z2 = d2
+        vf = valid * fc1 * fc2
+        cps = cos_pows(cos_t, sin_t)
+        zeros = jnp.zeros_like(rm)
+        a_acc = zeros                     # dW/d(vf)
+        b_acc = zeros                     # dW/d(rm) / vf
+        c_acc = [zeros] * n_ts            # dW/d(cos_pow[ts]) / vf
+        g = g_ref[:]
+        for i_rs, rs in enumerate(rs_grid):
+            u = rm - rs
+            e_raw = jnp.exp(-eta * u * u)
+            for i_ts in range(n_ts):
+                # Broadcast the per-segment cotangent onto its lane range:
+                # outer products against the constant 0/1 segment masks.
+                gt = zeros
+                for i_seg in range(n_seg):
+                    col = i_seg * a_len + i_rs * n_ts + i_ts
+                    gt = gt + g[:, col:col + 1] * segmask_ref[i_seg:i_seg + 1, :]
+                p = gt * e_raw
+                a_acc = a_acc + p * cps[i_ts]
+                b_acc = b_acc + p * cps[i_ts] * (-2.0 * eta * u)
+                c_acc[i_ts] = c_acc[i_ts] + p
+        dvf = a_acc
+        drm = vf * b_acc
+        dcos = zeros
+        dsin = zeros
+        for i_ts, ts in enumerate(ts_grid):
+            cos_tm = cos_t * math.cos(ts) + sin_t * math.sin(ts)
+            base = jnp.maximum(1.0 + cos_tm, 1e-20)
+            dctm = (vf * c_acc[i_ts] * zeta
+                    * jnp.exp((zeta - 1.0) * jnp.log(base)))
+            dcos = dcos + dctm * math.cos(ts)
+            dsin = dsin + dctm * math.sin(ts)
+        dfc1 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r1)
+        dfc2 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r2)
+        dr1 = 0.5 * drm + dvf * valid * dfc1 * fc2
+        dr2 = 0.5 * drm + dvf * valid * fc1 * dfc2
+        if torchani:
+            # sin = sqrt(1 - cos^2); cos = 0.95*dot/(r1 r2) (clip interior).
+            dcos_eff = dcos - dsin * cos_t / sin_t
+            ddot = 0.95 * inv12 * dcos_eff
+            dr1 = dr1 - cos_t / r1 * dcos_eff
+            dr2 = dr2 - cos_t / r2 * dcos_eff
+            cross_d1 = cross_d2 = None
+        else:
+            # cos = dot/(r1 r2); sin = |d1 x d2| / (r1 r2).
+            ddot = inv12 * dcos
+            dr1 = dr1 - cos_t / r1 * dcos - sin_t / r1 * dsin
+            dr2 = dr2 - cos_t / r2 * dcos - sin_t / r2 * dsin
+            cx, cy, cz = cross
+            cnorm = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz, 1e-12))
+            s = dsin * inv12 / cnorm
+            # d|c|/d d1 = d2 x c_hat ; d|c|/d d2 = c_hat x d1.
+            cross_d1 = (s * (y2 * cz - z2 * cy),
+                        s * (z2 * cx - x2 * cz),
+                        s * (x2 * cy - y2 * cx))
+            cross_d2 = (s * (cy * z1 - cz * y1),
+                        s * (cz * x1 - cx * z1),
+                        s * (cx * y1 - cy * x1))
+        inv_r1 = 1.0 / r1
+        inv_r2 = 1.0 / r2
+        dd1x = ddot * x2 + dr1 * x1 * inv_r1
+        dd1y = ddot * y2 + dr1 * y1 * inv_r1
+        dd1z = ddot * z2 + dr1 * z1 * inv_r1
+        dd2x = ddot * x1 + dr2 * x2 * inv_r2
+        dd2y = ddot * y1 + dr2 * y2 * inv_r2
+        dd2z = ddot * z1 + dr2 * z2 * inv_r2
+        if cross_d1 is not None:
+            dd1x = dd1x + cross_d1[0]
+            dd1y = dd1y + cross_d1[1]
+            dd1z = dd1z + cross_d1[2]
+            dd2x = dd2x + cross_d2[0]
+            dd2y = dd2y + cross_d2[1]
+            dd2z = dd2z + cross_d2[2]
+        dd1x = dd1x * valid
+        dd1y = dd1y * valid
+        dd1z = dd1z * valid
+        dd2x = dd2x * valid
+        dd2y = dd2y * valid
+        dd2z = dd2z * valid
+        f32 = jnp.float32
+        seljt = selj.T
+        selkt = selk.T
+        ddx_ref[:] = (jnp.dot(dd1x, seljt, preferred_element_type=f32)
+                      + jnp.dot(dd2x, selkt, preferred_element_type=f32))
+        ddy_ref[:] = (jnp.dot(dd1y, seljt, preferred_element_type=f32)
+                      + jnp.dot(dd2y, selkt, preferred_element_type=f32))
+        ddz_ref[:] = (jnp.dot(dd1z, seljt, preferred_element_type=f32)
+                      + jnp.dot(dd2z, selkt, preferred_element_type=f32))
+
+    selj_c = jnp.asarray(selj_np)
+    selk_c = jnp.asarray(selk_np)
+    segmask_np = np.zeros((n_seg, tp), np.float32)
+    for i_seg, (t0, t1) in enumerate(segs):
+        segmask_np[i_seg, t0:t1] = 1.0
+    segmask_c = jnp.asarray(segmask_np)
+    full_spec = pl.BlockSpec((kat, tp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((n_seg, tp), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row_spec(width):
+        return pl.BlockSpec((b, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def run_fwd(dx, dy, dz, m):
+        n = dx.shape[0]
+        grid = (n // b,)
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[row_spec(kat)] * 4 + [full_spec, full_spec],
+            out_specs=row_spec(out_w),
+            out_shape=jax.ShapeDtypeStruct((n, out_w), jnp.float32),
+            interpret=interpret,
+        )(dx, dy, dz, m, selj_c, selk_c)
+
+    def run_bwd(dx, dy, dz, m, g):
+        n = dx.shape[0]
+        grid = (n // b,)
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=[row_spec(kat)] * 4 + [row_spec(out_w),
+                                            full_spec, full_spec, seg_spec],
+            out_specs=(row_spec(kat),) * 3,
+            out_shape=tuple(jax.ShapeDtypeStruct((n, kat), jnp.float32)
+                            for _ in range(3)),
+            interpret=interpret,
+        )(dx, dy, dz, m, g, selj_c, selk_c, segmask_c)
+
+    @jax.custom_vjp
+    def angular(deltas, mask):
+        return _fwd(deltas, mask)[0]
+
+    def _fwd(deltas, mask):
+        n = deltas.shape[0]
+        pad = (-n) % b
+        m = mask.astype(jnp.float32)
+        dx = deltas[..., 0]
+        dy = deltas[..., 1]
+        dz = deltas[..., 2]
+        if pad:
+            z = jnp.zeros((pad, kat), jnp.float32)
+            dx, dy, dz, m = (jnp.concatenate([a, z]) for a in (dx, dy, dz, m))
+        out = run_fwd(dx, dy, dz, m)[:n]
+        return out, (deltas, mask)
+
+    def _bwd(res, g):
+        deltas, mask = res
+        n = deltas.shape[0]
+        pad = (-n) % b
+        m = mask.astype(jnp.float32)
+        dx = deltas[..., 0]
+        dy = deltas[..., 1]
+        dz = deltas[..., 2]
+        gg = g
+        if pad:
+            z = jnp.zeros((pad, kat), jnp.float32)
+            dx, dy, dz, m = (jnp.concatenate([a, z]) for a in (dx, dy, dz, m))
+            gg = jnp.concatenate([g, jnp.zeros((pad, out_w), jnp.float32)])
+        ddx, ddy, ddz = run_bwd(dx, dy, dz, m, gg)
+        dd = jnp.stack([ddx[:n], ddy[:n], ddz[:n]], axis=-1)
+        return dd, None
+
+    angular.defvjp(lambda d, m: _fwd(d, m), _bwd)
+    return angular
+
+
+_ANGULAR_CACHE: dict = {}
+
+
+def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
+                       layout: BlockedLayout, block_size: int = 128,
+                       interpret: Optional[bool] = None) -> Array:
+    """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
+    into the reference layout and scaled by 2^(1-zeta) (autodiff chains
+    through the placement)."""
+    key = (basis, layout, block_size, interpret)
+    if key not in _ANGULAR_CACHE:
+        _ANGULAR_CACHE[key] = make_angular_kernel(basis, layout, block_size,
+                                                  interpret)
+    fn = _ANGULAR_CACHE[key]
+    raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
+    n = raw.shape[0]
+    tables = triple_tables(layout)
+    a_len = len(basis.angular_rs_grid) * len(basis.angular_thetas_grid)
+    num_pairs = basis.num_species_pairs
+    cols = [jnp.zeros((n, a_len), raw.dtype)] * num_pairs
+    for i_seg, pid in enumerate(tables.pair_ids):
+        seg = raw[:, i_seg * a_len:(i_seg + 1) * a_len]
+        cols[pid] = cols[pid] + seg
+    angular = jnp.stack(cols, axis=1)              # [N, P, A]
+    scale = 2.0 ** (1.0 - float(basis.angular_zeta[0]))
+    return (angular * scale).reshape(n, num_pairs * a_len)

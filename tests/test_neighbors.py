@@ -144,9 +144,14 @@ def test_masked_pairs_grad_is_nan_free():
 def test_jit_static_shapes():
     """The op must compile once and be shape-stable across position updates
     (the CUDA-graph analog, SURVEY §4 implication (e))."""
-    import functools
-    f = jax.jit(functools.partial(get_neighbor_pairs, cutoff=2.0, max_num_pairs=16))
+    traces = []
+
+    def fn(pos):
+        traces.append(1)   # runs once per trace/compile, not per call
+        return get_neighbor_pairs(pos, cutoff=2.0, max_num_pairs=16)
+
+    f = jax.jit(fn)
     rng = np.random.RandomState(1)
     for _ in range(3):
         out = f(jnp.asarray(rng.rand(10, 3).astype(np.float32)))
-    assert f._cache_size() == 1
+    assert len(traces) == 1
