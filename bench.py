@@ -22,41 +22,36 @@ import time
 
 
 def build_scan_bench(num_molecules: int, steps_per_call: int,
-                     skin: float = 0.0, refresh_every: int = 1):
+                     skin: float = 0.0, refresh_every: int = 1,
+                     aev_impl: str = 'pallas', nn_dtype=None):
     import jax
     import jax.numpy as jnp
     from nnpops_tpu.config import ANIBasis
     from nnpops_tpu.models.ani import ANIModel, init_ani_params
-    from nnpops_tpu.native import plan_capacities
     from nnpops_tpu.neighbors.cell_list import CellList
     from nnpops_tpu.utils.water import make_water_box
 
     water = make_water_box(num_molecules, seed=0)
     basis = ANIBasis.ani2x()
-    # Size the static shapes from the actual configuration (native O(N)
-    # planner): true max neighbor counts + headroom, instead of guesses.
-    capacity, angular_capacity, _ = plan_capacities(
-        water.positions, water.box, basis.radial_cutoff + skin,
-        basis.angular_cutoff, margin=1.15)
-    # Chunk the AEV at large N: the angular intermediates are 1.6 GB-class
-    # at 26k atoms and thrash HBM in the backward pass otherwise.
-    chunk = 512 if num_molecules * 3 > 8000 else None
     model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
-                                         angular_capacity=angular_capacity,
-                                         aev_chunk_size=chunk)
+                                         nn_dtype=nn_dtype)
+    # Size the static per-species lane capacities from the actual
+    # configuration (true max neighbor counts + headroom, not guesses).
+    model = model.with_blocked_layout(water.positions, water.box,
+                                      margin=1.15, impl=aev_impl)
     params = init_ani_params(jax.random.PRNGKey(0), basis)
     box = jnp.asarray(water.box)
-    # Verlet skin: the selection (cell assignment + compaction) is refreshed
-    # every `refresh_every` steps and reused in between — the standard MD
-    # amortization every production engine uses.
+    # Verlet skin: the selection (cell assignment + per-species compaction +
+    # frozen angular sub-list) is refreshed every `refresh_every` steps and
+    # reused in between — the standard MD amortization.
     cell_list = CellList.create(water.box, basis.radial_cutoff + skin,
-                                capacity=capacity)
+                                capacity=model.blocked_layout.rad_total)
     blocks = max(1, steps_per_call // refresh_every)
 
     @jax.jit
     def run(params, positions):
         def block(pos, _):
-            sel = cell_list.select(pos, box)
+            sel = model.select(pos, box, cell_list)
 
             def step(pos, _):
                 e, f = model.energy_and_forces_from_selection(
@@ -85,6 +80,12 @@ def main():
     parser.add_argument('--steps', type=int, default=20,
                         help='force steps per jitted scan call')
     parser.add_argument('--calls', type=int, default=3)
+    parser.add_argument('--impl', default='pallas',
+                        choices=['pallas', 'blocked', 'payload'],
+                        help='AEV implementation (pallas = fused kernel)')
+    parser.add_argument('--nn-dtype', default=None,
+                        choices=[None, 'bfloat16'],
+                        help='ensemble matmul dtype (default f32)')
     args = parser.parse_args()
 
     import jax
@@ -106,7 +107,9 @@ def main():
     for num_mol, metric in candidates:
         try:
             (run, params, positions, true_steps,
-             check_overflow) = build_scan_bench(num_mol, args.steps)
+             check_overflow) = build_scan_bench(num_mol, args.steps,
+                                                aev_impl=args.impl,
+                                                nn_dtype=args.nn_dtype)
             final, energies = run(params, positions)       # compile + warmup
             jax.block_until_ready(final)
             check_overflow(final)   # overflow contract: between scanned calls

@@ -110,3 +110,38 @@ def ef(p):
 
 timeit('blocked energy+forces', ef, pos)
 print('done', flush=True)
+
+
+# ---- Pallas angular kernel path.
+pmodel = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
+pmodel = pmodel.with_blocked_layout(water.positions, water.box, margin=1.15,
+                                    impl='pallas')
+
+
+def aev_pallas_fwd(p):
+    pay = payload_from_blocked(cl, p, box, sel)
+    r, a = compute_aev_blocked(pay, basis, pmodel.blocked_layout,
+                               angular_impl='pallas')
+    return p + 1e-9 * (jnp.sum(r) + jnp.sum(a)) * jnp.ones((1, 3))
+
+timeit('pallas payload+AEV fwd', aev_pallas_fwd, pos)
+
+
+def aev_pallas_fwdbwd(p):
+    def e(pp):
+        pay = payload_from_blocked(cl, pp, box, sel)
+        r, a = compute_aev_blocked(pay, basis, pmodel.blocked_layout,
+                                   angular_impl='pallas')
+        return jnp.sum(r) * 1e-4 + jnp.sum(a) * 1e-4
+    g = jax.grad(e)(p)
+    return p + 1e-7 * g
+
+timeit('pallas payload+AEV fwd+bwd', aev_pallas_fwdbwd, pos)
+
+
+def ef_pallas(p):
+    e, f = pmodel.energy_and_forces_from_selection(params, p, box, cl, sel)
+    return p + 1e-6 * f
+
+timeit('pallas energy+forces', ef_pallas, pos)
+print('done pallas', flush=True)

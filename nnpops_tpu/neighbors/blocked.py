@@ -194,6 +194,11 @@ class BlockedSelection(NamedTuple):
     max_rad: Array         # [n_present] true per-species radial counts
     max_ang: Array         # [n_present] true per-species angular counts
     max_cell_occupancy: Array
+    # mirror[a, l] = flat index (row * (rad+ang) + lane) of the REVERSE
+    # directed entry of (a, l) — entry (j -> i) for entry (i -> j). Lets the
+    # payload-gather adjoint run as a frozen GATHER instead of an XLA
+    # scatter-add (measured ~5x slower on TPU). Sentinel N*(rad+ang) = none.
+    mirror: Array          # [N, rad_total + ang_total] int32
 
     def did_overflow(self, layout: BlockedLayout, cell_capacity: int) -> Array:
         rad_over = jnp.any(self.max_rad > jnp.asarray(layout.rad_caps))
@@ -310,6 +315,33 @@ def select_blocked(cell_list: CellList, positions: Array, box: Array,
                             max_occ)
 
 
+def _build_mirror(slot_rows: Array, nbr: Array, mask: Array, cc: int) -> Array:
+    """Flat index of each directed entry's reverse copy.
+
+    The lists are directed-symmetric (if j is listed by i, i is listed by j —
+    cutoff and presence are symmetric), so sorting all valid entries once by
+    (own slot, neighbor slot) and once by (neighbor slot, own slot) aligns
+    every entry with its mirror at the same sorted position. Atoms dropped by
+    cell overflow break symmetry; their entries are excluded (the selection
+    is already 'incomplete, re-plan' per the overflow contract).
+    """
+    n, k = nbr.shape
+    flat = jnp.arange(n * k, dtype=jnp.int32)
+    s1 = jnp.broadcast_to(slot_rows[:, None], (n, k)).reshape(-1)
+    s2 = nbr.reshape(-1)
+    valid = mask.reshape(-1) & (s1 <= cc)
+    big = jnp.int32(cc + 2)
+    k1a = jnp.where(valid, s1, big)
+    k1b = jnp.where(valid, s2, big)
+    k2a = jnp.where(valid, s2, big)
+    k2b = jnp.where(valid, s1, big)
+    _, _, v1 = jax.lax.sort([k1a, k1b, flat], num_keys=2)
+    _, _, v2 = jax.lax.sort([k2a, k2b, flat], num_keys=2)
+    mirror = jnp.full((n * k,), n * k, jnp.int32).at[v1].set(v2)
+    mirror = jnp.where(mask.reshape(-1), mirror, n * k)
+    return mirror.reshape(n, k)
+
+
 def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
                      cand_slot_atom, order, slot_of_sorted, idx_n, max_occ):
     """Shared per-species packed-key compaction (cell and dense paths).
@@ -339,16 +371,29 @@ def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
     slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
     slot_to_atom = slot_to_atom.at[slot_of_sorted].set(
         order.astype(jnp.int32), mode='drop')
+    nbr_rad_c = jnp.concatenate(nbr_rad, axis=1)
+    rad_mask_c = jnp.concatenate(rad_masks, axis=1)
+    nbr_ang_c = jnp.concatenate(nbr_ang, axis=1)
+    ang_mask_c = jnp.concatenate(ang_masks, axis=1)
+    # Mirror indices in the combined [N, Krt+Kat] flat lane space (radial
+    # entries mirror within the radial lanes, angular within angular).
+    slot32 = slot_of_sorted.astype(jnp.int32)
+    krt = nbr_rad_c.shape[1]
+    kat = nbr_ang_c.shape[1]
+    kb = krt + kat
+    mr = _build_mirror(slot32, nbr_rad_c, rad_mask_c, cc)     # own ids < n*krt
+    ma = _build_mirror(slot32, nbr_ang_c, ang_mask_c, cc)
+    mr_c = jnp.where(mr < n * krt, (mr // krt) * kb + mr % krt, n * kb)
+    ma_c = jnp.where(ma < n * kat, (ma // kat) * kb + krt + ma % kat, n * kb)
     return BlockedSelection(
         order=order.astype(jnp.int32),
-        slot_of_sorted=slot_of_sorted.astype(jnp.int32),
+        slot_of_sorted=slot32,
         inv_order=inv_order, slot_to_atom=slot_to_atom,
-        nbr_rad=jnp.concatenate(nbr_rad, axis=1),
-        rad_mask=jnp.concatenate(rad_masks, axis=1),
-        nbr_ang=jnp.concatenate(nbr_ang, axis=1),
-        ang_mask=jnp.concatenate(ang_masks, axis=1),
+        nbr_rad=nbr_rad_c, rad_mask=rad_mask_c,
+        nbr_ang=nbr_ang_c, ang_mask=ang_mask_c,
         max_rad=jnp.stack(max_rad), max_ang=jnp.stack(max_ang),
-        max_cell_occupancy=max_occ)
+        max_cell_occupancy=max_occ,
+        mirror=jnp.concatenate([mr_c, ma_c], axis=1))
 
 
 def _select_blocked_dense(cell_list: CellList, positions, box, species,
@@ -375,12 +420,49 @@ def _select_blocked_dense(cell_list: CellList, positions, box, species,
                             jnp.asarray(n, jnp.int32))
 
 
+@jax.custom_vjp
+def _gather_slots_mirror(slots, idx, mirror, mask, slot_of_sorted):
+    """``slots[idx]`` whose VJP runs as a frozen GATHER via the mirror list
+    instead of an XLA scatter-add (measured ~5x slower at 26k atoms):
+    the cotangents destined for atom i's slot are exactly the cotangents of
+    the reverse directed entries of i's own lanes."""
+    n, kb = idx.shape
+    return slots[idx.reshape(-1)].reshape(n, kb, 3)
+
+
+def _gather_slots_mirror_fwd(slots, idx, mirror, mask, slot_of_sorted):
+    n, kb = idx.shape
+    out = slots[idx.reshape(-1)].reshape(n, kb, 3)
+    return out, (mirror, mask, slot_of_sorted, slots.shape[0], idx.shape)
+
+
+def _gather_slots_mirror_bwd(res, g):
+    mirror, mask, slot_of_sorted, n_slots, (n, kb) = res
+    g_flat = jnp.concatenate(
+        [g.reshape(n * kb, 3), jnp.zeros((1, 3), g.dtype)], axis=0)
+    gm = g_flat[mirror.reshape(-1)].reshape(n, kb, 3)
+    gm = jnp.where(mask[..., None], gm, 0.0)
+    per_atom = jnp.sum(gm, axis=1)
+    d_slots = jnp.zeros((n_slots, 3), g.dtype)
+    d_slots = d_slots.at[slot_of_sorted].set(per_atom, mode='drop')
+    return (d_slots, None, None, None, None)
+
+
+_gather_slots_mirror.defvjp(_gather_slots_mirror_fwd, _gather_slots_mirror_bwd)
+
+
 def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
-                         sel: BlockedSelection) -> BlockedPayload:
+                         sel: BlockedSelection,
+                         mirror_vjp: bool = True) -> BlockedPayload:
     """The differentiable per-step phase: re-scatter current positions into
     the frozen slots, fetch radial+angular neighbor positions with ONE packed
     gather, recompute deltas/distances. No species features ride the payload
-    — the layout already encodes species statically."""
+    — the layout already encodes species statically.
+
+    ``mirror_vjp``: route the gather's adjoint through the frozen mirror
+    list (gather) instead of XLA's scatter-add. Requires no capacity
+    overflow (list symmetry) — which the overflow contract already demands.
+    """
     n = positions.shape[0]
     pos_sorted = positions[sel.order]
     if cell_list.use_cells:
@@ -392,7 +474,12 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
             [pos_sorted, jnp.zeros((1, 3), positions.dtype)], axis=0)
     krt = sel.nbr_rad.shape[1]
     both = jnp.concatenate([sel.nbr_rad, sel.nbr_ang], axis=1)
-    gathered = slots[both.reshape(-1)].reshape(n, both.shape[1], 3)
+    both_mask = jnp.concatenate([sel.rad_mask, sel.ang_mask], axis=1)
+    if mirror_vjp:
+        gathered = _gather_slots_mirror(slots, both, sel.mirror, both_mask,
+                                        sel.slot_of_sorted)
+    else:
+        gathered = slots[both.reshape(-1)].reshape(n, both.shape[1], 3)
 
     def finish(nbr_pos, mask):
         deltas = minimum_image(nbr_pos - pos_sorted[:, None, :], box)

@@ -77,24 +77,35 @@ def init_ensemble(key, aev_length: int, layer_dims: Sequence[Sequence[int]],
     return EnsembleParams(tuple(nets))
 
 
-def apply_species_net(net: SpeciesNet, x: Array) -> Array:
+def apply_species_net(net: SpeciesNet, x: Array,
+                      compute_dtype=None) -> Array:
     """Run one species' ensemble on its atoms.
 
     x: [n, aev_length] -> atomic energies [n, models].
 
     Layer 0 is a single wide MXU matmul [n, in] x [in, models*out0]; deeper
     layers are model-batched matmuls via dot_general (batch dim = models).
+
+    ``compute_dtype``: cast matmul operands (activations + weights) to this
+    dtype — ``jnp.bfloat16`` doubles MXU rate and halves weight traffic.
+    Accumulation stays f32 (``preferred_element_type``), biases/activations
+    apply in f32. Typical force error vs f32 is ~1e-3 relative — inside the
+    reference's 5e-3 force gate (TestSymmetryFunctions.py:66-70) but outside
+    its 5e-7 energy gate, so this is opt-in (ANIModel ``nn_dtype``).
     """
+    cdt = compute_dtype or x.dtype
     m, out0, in0 = net.weights[0].shape
     w0 = net.weights[0].transpose(2, 0, 1).reshape(in0, m * out0)
-    h = jnp.dot(x, w0, preferred_element_type=jnp.float32)
+    h = jnp.dot(x.astype(cdt), w0.astype(cdt),
+                preferred_element_type=jnp.float32)
     h = h.reshape(x.shape[0], m, out0) + net.biases[0]
     h = celu(h)
     num_layers = len(net.weights)
     for layer in range(1, num_layers):
         w, b = net.weights[layer], net.biases[layer]
         # [n, m, i] x [m, o, i] -> [m, n, o], contracting i, batching m.
-        h = jax.lax.dot_general(h, w, (((2,), (2,)), ((1,), (0,))),
+        h = jax.lax.dot_general(h.astype(cdt), w.astype(cdt),
+                                (((2,), (2,)), ((1,), (0,))),
                                 preferred_element_type=jnp.float32)
         h = jnp.moveaxis(h, 0, 1) + b
         if layer < num_layers - 1:
@@ -119,7 +130,8 @@ def build_grouping(species: np.ndarray, num_species: int) -> SpeciesGrouping:
 
 
 def atomic_energies_grouped(params: EnsembleParams, aev: Array,
-                            grouping: SpeciesGrouping) -> Array:
+                            grouping: SpeciesGrouping,
+                            compute_dtype=None) -> Array:
     """Per-atom ensemble-mean energies, [N] (in original atom order)."""
     gathered = aev[jnp.asarray(grouping.order)]
     pieces: List[Array] = []
@@ -128,7 +140,8 @@ def atomic_energies_grouped(params: EnsembleParams, aev: Array,
         if count == 0:
             continue
         block = jax.lax.slice_in_dim(gathered, start, start + count, axis=0)
-        pieces.append(apply_species_net(params.networks[s], block))
+        pieces.append(apply_species_net(params.networks[s], block,
+                                        compute_dtype))
         start += count
     stacked = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
     per_atom = jnp.mean(stacked, axis=-1)
@@ -136,10 +149,12 @@ def atomic_energies_grouped(params: EnsembleParams, aev: Array,
 
 
 def ensemble_energy(params: EnsembleParams, aev: Array,
-                    grouping: SpeciesGrouping) -> Array:
+                    grouping: SpeciesGrouping,
+                    compute_dtype=None) -> Array:
     """Total NN energy: sum over atoms of the model-mean atomic energy
     (the fused sum/mean of BatchedNN.py:105-109)."""
-    return jnp.sum(atomic_energies_grouped(params, aev, grouping))
+    return jnp.sum(atomic_energies_grouped(params, aev, grouping,
+                                           compute_dtype))
 
 
 # ---------------------------------------------------------------------------

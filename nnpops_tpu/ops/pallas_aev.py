@@ -65,6 +65,7 @@ def _kernel_constants(basis: ANIBasis, layout: BlockedLayout,
 
 def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         block_size: int = 128,
+                        bwd_block_size: Optional[int] = None,
                         interpret: Optional[bool] = None):
     """Build the fused angular-AEV function for one (basis, layout).
 
@@ -79,7 +80,9 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             'the Pallas angular kernel requires a factored angular grid '
             '(ANIBasis.from_grids with single EtaA/Zeta)')
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        # 'axon' is the experimental remote-TPU backend — a real TPU chip;
+        # everything else (cpu in tests) runs the interpreter.
+        interpret = jax.default_backend() not in ('tpu', 'axon')
 
     tables, tp, selj_np, selk_np = _kernel_constants(basis, layout, 128)
     kat = layout.ang_total
@@ -96,6 +99,9 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     segs = [(int(tables.seg_bounds[i]), int(tables.seg_bounds[i + 1]))
             for i in range(n_seg)]
     b = block_size
+    # The bwd kernel keeps ~3x more [B, Tp] arrays live than the fwd —
+    # halve its block to stay under the ~16 MB scoped-VMEM limit.
+    bb = bwd_block_size if bwd_block_size is not None else max(8, b // 2)
 
     def pair_geometry(dx, dy, dz, m, selj, selk):
         """Shared forward geometry on [B, Tp] arrays."""
@@ -253,19 +259,19 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         ddz_ref[:] = (jnp.dot(dd1z, seljt, preferred_element_type=f32)
                       + jnp.dot(dd2z, selkt, preferred_element_type=f32))
 
-    selj_c = jnp.asarray(selj_np)
-    selk_c = jnp.asarray(selk_np)
+    # Keep kernel constants as NUMPY: the factory may run inside a jit trace
+    # (first call), and a jnp array created there is a tracer — caching it
+    # would leak it into later traces. numpy converts per-trace at use.
     segmask_np = np.zeros((n_seg, tp), np.float32)
     for i_seg, (t0, t1) in enumerate(segs):
         segmask_np[i_seg, t0:t1] = 1.0
-    segmask_c = jnp.asarray(segmask_np)
     full_spec = pl.BlockSpec((kat, tp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((n_seg, tp), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    def row_spec(width):
-        return pl.BlockSpec((b, width), lambda i: (i, 0),
+    def row_spec(width, rows=None):
+        return pl.BlockSpec((rows or b, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def run_fwd(dx, dy, dz, m):
@@ -278,21 +284,23 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             out_specs=row_spec(out_w),
             out_shape=jax.ShapeDtypeStruct((n, out_w), jnp.float32),
             interpret=interpret,
-        )(dx, dy, dz, m, selj_c, selk_c)
+        )(dx, dy, dz, m, jnp.asarray(selj_np), jnp.asarray(selk_np))
 
     def run_bwd(dx, dy, dz, m, g):
         n = dx.shape[0]
-        grid = (n // b,)
+        grid = (n // bb,)
         return pl.pallas_call(
             bwd_kernel,
             grid=grid,
-            in_specs=[row_spec(kat)] * 4 + [row_spec(out_w),
-                                            full_spec, full_spec, seg_spec],
-            out_specs=(row_spec(kat),) * 3,
+            in_specs=[row_spec(kat, bb)] * 4 + [row_spec(out_w, bb),
+                                                full_spec, full_spec,
+                                                seg_spec],
+            out_specs=(row_spec(kat, bb),) * 3,
             out_shape=tuple(jax.ShapeDtypeStruct((n, kat), jnp.float32)
                             for _ in range(3)),
             interpret=interpret,
-        )(dx, dy, dz, m, g, selj_c, selk_c, segmask_c)
+        )(dx, dy, dz, m, g, jnp.asarray(selj_np), jnp.asarray(selk_np),
+          jnp.asarray(segmask_np))
 
     @jax.custom_vjp
     def angular(deltas, mask):
@@ -314,7 +322,7 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     def _bwd(res, g):
         deltas, mask = res
         n = deltas.shape[0]
-        pad = (-n) % b
+        pad = (-n) % bb
         m = mask.astype(jnp.float32)
         dx = deltas[..., 0]
         dy = deltas[..., 1]

@@ -182,3 +182,35 @@ def test_blocked_overflow_observable():
                          basis.angular_cutoff)
     assert bool(sel.did_overflow(layout, cl.cell_capacity))
     assert int(jnp.max(sel.max_rad)) > 1
+
+
+def test_mirror_vjp_matches_scatter_vjp():
+    """The frozen-mirror adjoint of the payload gather equals XLA's
+    scatter-add adjoint (requires symmetric lists = no overflow)."""
+    from nnpops_tpu.neighbors.blocked import payload_from_blocked, select_blocked
+    basis = small_basis()
+    for seed, width in [(0, 9.0), (4, 10.5)]:
+        positions, species, box = random_system(n=60, seed=seed,
+                                                box_width=width)
+        layout = plan_blocked_layout(positions, box, species,
+                                     basis.radial_cutoff,
+                                     basis.angular_cutoff, basis.num_species)
+        cl = CellList.create(box, basis.radial_cutoff,
+                             capacity=layout.rad_total)
+        sel = select_blocked(cl, jnp.asarray(positions), jnp.asarray(box),
+                             species, layout, basis.radial_cutoff,
+                             basis.angular_cutoff)
+
+        def loss(p, mirror):
+            pay = payload_from_blocked(cl, p, jnp.asarray(box), sel,
+                                       mirror_vjp=mirror)
+            r, a = compute_aev_blocked(pay, basis, layout)
+            return jnp.sum(r * r) + jnp.sum(a)
+
+        p = jnp.asarray(positions)
+        e1 = loss(p, True)
+        e2 = loss(p, False)
+        np.testing.assert_allclose(e1, e2, rtol=1e-6)
+        g1 = jax.grad(loss)(p, True)
+        g2 = jax.grad(loss)(p, False)
+        np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
