@@ -38,7 +38,7 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
     # Size the static per-species lane capacities from the actual
     # configuration (true max neighbor counts + headroom, not guesses).
     model = model.with_blocked_layout(water.positions, water.box,
-                                      margin=1.15, impl=aev_impl)
+                                      margin=1.15, impl=aev_impl, skin=skin)
     params = init_ani_params(jax.random.PRNGKey(0), basis)
     box = jnp.asarray(water.box)
     # Verlet skin: the selection (cell assignment + per-species compaction +
@@ -86,6 +86,12 @@ def main():
     parser.add_argument('--nn-dtype', default=None,
                         choices=[None, 'bfloat16'],
                         help='ensemble matmul dtype (default f32)')
+    parser.add_argument('--skin', type=float, default=0.0,
+                        help='Verlet skin (A); selection refreshed every '
+                             '--refresh steps instead of every step')
+    parser.add_argument('--refresh', type=int, default=1,
+                        help='steps between selection refreshes (valid while '
+                             'no atom moves more than skin/2)')
     args = parser.parse_args()
 
     import jax
@@ -108,6 +114,8 @@ def main():
         try:
             (run, params, positions, true_steps,
              check_overflow) = build_scan_bench(num_mol, args.steps,
+                                                skin=args.skin,
+                                                refresh_every=args.refresh,
                                                 aev_impl=args.impl,
                                                 nn_dtype=args.nn_dtype)
             final, energies = run(params, positions)       # compile + warmup

@@ -16,7 +16,7 @@ from nnpops_tpu.ops.aev_blocked import compute_aev_blocked
 from nnpops_tpu.ops.pallas_aev import angular_aev_pallas
 from nnpops_tpu.utils.water import make_water_box
 
-water = make_water_box(120, seed=0)
+water = make_water_box(int(os.environ.get('NMOL', '120')), seed=0)
 basis = ANIBasis.ani2x()
 from nnpops_tpu.models.ani import ANIModel
 model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
@@ -63,11 +63,25 @@ for i_rs, rs in enumerate(basis.angular_rs_grid):
             cols[:, pid, i_rs*4+i_ts] += w[:, t0:t1].sum(1)
 oracle = (cols * 2.0**(1-zeta)).reshape(d.shape[0], -1)
 
-ax = np.asarray(jax.jit(lambda: compute_aev_blocked(pay, basis, layout).angular)())
+chunk = int(os.environ['CHUNK']) if os.environ.get('CHUNK') else None
+ax = np.asarray(jax.jit(lambda: compute_aev_blocked(pay, basis, layout,
+                                                    chunk_size=chunk).angular)())
 ap = np.asarray(jax.jit(lambda: compute_aev_blocked(
     pay, basis, layout, angular_impl='pallas').angular)())
+# rad-only payload + in-kernel extraction path
+from nnpops_tpu.neighbors.blocked import select_blocked, payload_from_blocked
+sel2 = jax.jit(lambda p: select_blocked(cl, p, jnp.asarray(water.box),
+                                        model.species_array, layout,
+                                        basis.radial_cutoff,
+                                        basis.angular_cutoff))(
+    jnp.asarray(water.positions))
+pay2 = jax.jit(lambda p: payload_from_blocked(cl, p, jnp.asarray(water.box),
+                                              sel2, rad_only=True))(
+    jnp.asarray(water.positions))
+ar = np.asarray(jax.jit(lambda: compute_aev_blocked(
+    pay2, basis, layout, angular_impl='pallas').angular)())
 scale = np.abs(oracle).max()
-for name, v in [('xla', ax), ('pallas', ap)]:
+for name, v in [('xla', ax), ('pallas', ap), ('pallas-rad', ar)]:
     err = np.abs(v - oracle)
     rel = err / (np.abs(oracle) + 1e-10)
     print(f'{name}: max abs {err.max():.3e} (scale {scale:.3e}) '

@@ -111,15 +111,20 @@ class ANIModel:
 
     def with_blocked_layout(self, positions, box, margin: float = 1.2,
                             lane_multiple: int = 1,
-                            impl: str = 'blocked') -> 'ANIModel':
+                            impl: str = 'blocked',
+                            skin: float = 0.0) -> 'ANIModel':
         """Return a copy configured for the species-blocked AEV path, with
         per-species capacities planned from this configuration (the blocked
         analog of native.plan_capacities). ``impl``: 'blocked' (XLA) or
-        'pallas' (fused VMEM kernel for the angular block)."""
+        'pallas' (fused VMEM kernel for the angular block). ``skin``: Verlet
+        skin the selection will run with (widens both capacity windows —
+        the frozen lists must hold every pair that can enter the cutoff
+        before the next refresh)."""
         from ..neighbors.blocked import plan_blocked_layout
         layout = plan_blocked_layout(
-            positions, box, self.species_array, self.basis.radial_cutoff,
-            self.basis.angular_cutoff, self.basis.num_species,
+            positions, box, self.species_array,
+            self.basis.radial_cutoff + skin,
+            self.basis.angular_cutoff + skin, self.basis.num_species,
             margin=margin, lane_multiple=lane_multiple)
         return dataclasses.replace(self, aev_impl=impl,
                                    blocked_layout=layout)
@@ -279,11 +284,12 @@ class ANIModel:
         if isinstance(sel, BlockedSelection):
             from ..neighbors.blocked import payload_from_blocked
             from ..ops.aev_blocked import compute_aev_blocked
-            payload = payload_from_blocked(cell_list, positions, box, sel)
-            impl = 'pallas' if self.aev_impl == 'pallas' else 'xla'
+            pallas = self.aev_impl == 'pallas'
+            payload = payload_from_blocked(cell_list, positions, box, sel,
+                                           rad_only=pallas)
             radial, angular = compute_aev_blocked(
                 payload, self.basis, self.blocked_layout, self.aev_chunk_size,
-                angular_impl=impl)
+                angular_impl='pallas' if pallas else 'xla')
         else:
             from ..ops.aev import compute_aev_from_payload
             payload = cell_list.payload_from_selection(

@@ -199,6 +199,14 @@ class BlockedSelection(NamedTuple):
     # payload-gather adjoint run as a frozen GATHER instead of an XLA
     # scatter-add (measured ~5x slower on TPU). Sentinel N*(rad+ang) = none.
     mirror: Array          # [N, rad_total + ang_total] int32
+    # ang_in_rad[a, l] = lane position of angular neighbor l inside atom a's
+    # RADIAL lane list (the angular list is a subsequence of the radial list
+    # whenever no capacity overflowed: same species blocks, same slot-id
+    # ascending order, angular window inside the radial window). Lets the
+    # fused kernel extract the angular payload from the radial payload in
+    # VMEM, so the per-step gather only fetches radial lanes.
+    # Sentinel rad_total = invalid.
+    ang_in_rad: Array      # [N, ang_total] int32
 
     def did_overflow(self, layout: BlockedLayout, cell_capacity: int) -> Array:
         rad_over = jnp.any(self.max_rad > jnp.asarray(layout.rad_caps))
@@ -216,12 +224,15 @@ class BlockedPayload(NamedTuple):
     rad_deltas: Array      # [N, rad_total, 3]
     rad_r: Array           # [N, rad_total]
     rad_mask: Array        # [N, rad_total]
-    ang_deltas: Array      # [N, ang_total, 3]
-    ang_r: Array           # [N, ang_total]
+    ang_deltas: Optional[Array]    # [N, ang_total, 3]; None in rad-only mode
+    ang_r: Optional[Array]         # [N, ang_total]
     ang_mask: Array        # [N, ang_total]
     max_rad: Array
     max_ang: Array
     max_cell_occupancy: Array
+    # Rad-only mode: frozen lane positions of the angular neighbors inside
+    # the radial lanes (the fused kernel extracts them in VMEM).
+    ang_in_rad: Optional[Array] = None   # [N, ang_total] int32
 
 
 def select_blocked(cell_list: CellList, positions: Array, box: Array,
@@ -385,6 +396,12 @@ def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
     ma = _build_mirror(slot32, nbr_ang_c, ang_mask_c, cc)
     mr_c = jnp.where(mr < n * krt, (mr // krt) * kb + mr % krt, n * kb)
     ma_c = jnp.where(ma < n * kat, (ma // kat) * kb + krt + ma % kat, n * kb)
+    # Position of each angular neighbor inside the radial lane list (exact
+    # slot-id match; unique within a row). Invalid -> krt.
+    match = (nbr_ang_c[:, :, None] == nbr_rad_c[:, None, :]) \
+        & ang_mask_c[:, :, None] & rad_mask_c[:, None, :]
+    ang_in_rad = jnp.where(jnp.any(match, axis=2),
+                           jnp.argmax(match, axis=2).astype(jnp.int32), krt)
     return BlockedSelection(
         order=order.astype(jnp.int32),
         slot_of_sorted=slot32,
@@ -393,7 +410,8 @@ def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
         nbr_ang=nbr_ang_c, ang_mask=ang_mask_c,
         max_rad=jnp.stack(max_rad), max_ang=jnp.stack(max_ang),
         max_cell_occupancy=max_occ,
-        mirror=jnp.concatenate([mr_c, ma_c], axis=1))
+        mirror=jnp.concatenate([mr_c, ma_c], axis=1),
+        ang_in_rad=ang_in_rad)
 
 
 def _select_blocked_dense(cell_list: CellList, positions, box, species,
@@ -453,15 +471,21 @@ _gather_slots_mirror.defvjp(_gather_slots_mirror_fwd, _gather_slots_mirror_bwd)
 
 def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
                          sel: BlockedSelection,
-                         mirror_vjp: bool = True) -> BlockedPayload:
+                         mirror_vjp: bool = True,
+                         rad_only: bool = False) -> BlockedPayload:
     """The differentiable per-step phase: re-scatter current positions into
-    the frozen slots, fetch radial+angular neighbor positions with ONE packed
-    gather, recompute deltas/distances. No species features ride the payload
-    — the layout already encodes species statically.
+    the frozen slots, fetch neighbor positions with ONE packed gather,
+    recompute deltas/distances. No species features ride the payload — the
+    layout already encodes species statically.
 
     ``mirror_vjp``: route the gather's adjoint through the frozen mirror
     list (gather) instead of XLA's scatter-add. Requires no capacity
     overflow (list symmetry) — which the overflow contract already demands.
+
+    ``rad_only``: gather only the radial lanes; the angular payload is NOT
+    materialized (``ang_deltas``/``ang_r`` = None) — consumers extract the
+    angular lanes from the radial ones via ``ang_in_rad`` (the fused Pallas
+    kernel does this in VMEM). ~30% fewer gather rows per step.
     """
     n = positions.shape[0]
     pos_sorted = positions[sel.order]
@@ -473,13 +497,23 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
         slots = jnp.concatenate(
             [pos_sorted, jnp.zeros((1, 3), positions.dtype)], axis=0)
     krt = sel.nbr_rad.shape[1]
-    both = jnp.concatenate([sel.nbr_rad, sel.nbr_ang], axis=1)
-    both_mask = jnp.concatenate([sel.rad_mask, sel.ang_mask], axis=1)
+    kb = krt + sel.nbr_ang.shape[1]
+    if rad_only:
+        idx = sel.nbr_rad
+        idx_mask = sel.rad_mask
+        # Mirror values live in the combined [row*(Krt+Kat)+lane] flat space;
+        # remap the radial block to rad-only flat indices.
+        mr = sel.mirror[:, :krt]
+        mirror = jnp.where(mr < n * kb, (mr // kb) * krt + mr % kb, n * krt)
+    else:
+        idx = jnp.concatenate([sel.nbr_rad, sel.nbr_ang], axis=1)
+        idx_mask = jnp.concatenate([sel.rad_mask, sel.ang_mask], axis=1)
+        mirror = sel.mirror
     if mirror_vjp:
-        gathered = _gather_slots_mirror(slots, both, sel.mirror, both_mask,
+        gathered = _gather_slots_mirror(slots, idx, mirror, idx_mask,
                                         sel.slot_of_sorted)
     else:
-        gathered = slots[both.reshape(-1)].reshape(n, both.shape[1], 3)
+        gathered = slots[idx.reshape(-1)].reshape(n, idx.shape[1], 3)
 
     def finish(nbr_pos, mask):
         deltas = minimum_image(nbr_pos - pos_sorted[:, None, :], box)
@@ -487,15 +521,21 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
         r = jnp.sqrt(jnp.where(mask, jnp.sum(deltas * deltas, -1), 1.0))
         return deltas, jnp.where(mask, r, 0.0)
 
-    rad_deltas, rad_r = finish(gathered[:, :krt], sel.rad_mask)
-    ang_deltas, ang_r = finish(gathered[:, krt:], sel.ang_mask)
-
     io = sel.inv_order
+    rad_deltas, rad_r = finish(gathered[:, :krt], sel.rad_mask)
+    if rad_only:
+        ang_deltas = ang_r = None
+        ang_in_rad = sel.ang_in_rad[io]
+    else:
+        ang_deltas, ang_r = finish(gathered[:, krt:], sel.ang_mask)
+        ang_deltas, ang_r = ang_deltas[io], ang_r[io]
+        ang_in_rad = None
     return BlockedPayload(
         rad_deltas=rad_deltas[io], rad_r=rad_r[io], rad_mask=sel.rad_mask[io],
-        ang_deltas=ang_deltas[io], ang_r=ang_r[io], ang_mask=sel.ang_mask[io],
+        ang_deltas=ang_deltas, ang_r=ang_r, ang_mask=sel.ang_mask[io],
         max_rad=sel.max_rad, max_ang=sel.max_ang,
-        max_cell_occupancy=sel.max_cell_occupancy)
+        max_cell_occupancy=sel.max_cell_occupancy,
+        ang_in_rad=ang_in_rad)
 
 
 def build_blocked_payload(cell_list: CellList, positions: Array, box: Array,

@@ -155,7 +155,8 @@ def compute_aev(
     radial_pair = jnp.where(valid_r[..., None], radial_pair, 0.0)
     neighbor_onehot = jax.nn.one_hot(species[safe_idx], s, dtype=dtype)
     neighbor_onehot = neighbor_onehot * valid_r[..., None]
-    radial = jnp.einsum('nkr,nks->nsr', radial_pair, neighbor_onehot)
+    radial = jnp.einsum('nkr,nks->nsr', radial_pair, neighbor_onehot,
+                        precision=jax.lax.Precision.HIGH)
     if basis.torchani:
         radial = radial * 0.25
 
@@ -241,7 +242,8 @@ def compute_aev(
     num_pairs = basis.num_species_pairs
     pair_onehot = jax.nn.one_hot(pair_idx, num_pairs, dtype=dtype)
     pair_onehot = pair_onehot * tri_valid[..., None]
-    angular = jnp.einsum('nta,ntp->npa', tri_term, pair_onehot)
+    angular = jnp.einsum('nta,ntp->npa', tri_term, pair_onehot,
+                        precision=jax.lax.Precision.HIGH)
     angular = angular * _pow(2.0, 1.0 - a_zeta)
 
     return AEV(radial.reshape(num_centers, -1), angular.reshape(num_centers, -1))
@@ -339,7 +341,8 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
     cdt = contraction_dtype or dtype
     radial = jnp.einsum('nkr,nks->nsr', radial_pair.astype(cdt),
                         (onehot * mask[..., None]).astype(cdt),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
     if basis.torchani:
         radial = radial * 0.25
 
@@ -372,7 +375,8 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
         # output tiles (measured several-fold faster at 26k atoms).
         tri_valid = (ang_valid[:, :, None] & ang_valid[:, None, :]
                      & (jnp.arange(k_ang)[:, None] < jnp.arange(k_ang)[None, :]))
-        dot = jnp.einsum('njx,nkx->njk', ang_delta, ang_delta)
+        dot = jnp.einsum('njx,nkx->njk', ang_delta, ang_delta,
+                        precision=jax.lax.Precision.HIGH)
         dot = jnp.where(tri_valid, dot, 0.0)
         r1 = r_a[:, :, None]
         r2_ = r_a[:, None, :]
@@ -391,15 +395,23 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
         jj, kk = np.triu_indices(k_ang, k=1)
         sel_j = _selection_matrix(jj, k_ang, dtype)     # [T, K_ang]
         sel_k = _selection_matrix(kk, k_ang, dtype)
-        d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta)
-        d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta)
-        r1 = jnp.einsum('tk,nk->nt', sel_j, r_a)
-        r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a)
-        v1 = jnp.einsum('tk,nk->nt', sel_j, ang_valid.astype(dtype))
-        v2 = jnp.einsum('tk,nk->nt', sel_k, ang_valid.astype(dtype))
+        d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta,
+                        precision=jax.lax.Precision.HIGH)
+        d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta,
+                        precision=jax.lax.Precision.HIGH)
+        r1 = jnp.einsum('tk,nk->nt', sel_j, r_a,
+                        precision=jax.lax.Precision.HIGH)
+        r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a,
+                        precision=jax.lax.Precision.HIGH)
+        v1 = jnp.einsum('tk,nk->nt', sel_j, ang_valid.astype(dtype),
+                        precision=jax.lax.Precision.HIGH)
+        v2 = jnp.einsum('tk,nk->nt', sel_k, ang_valid.astype(dtype),
+                        precision=jax.lax.Precision.HIGH)
         tri_valid = (v1 * v2) > 0.5
-        oh1 = jnp.einsum('tk,nks->nts', sel_j, ang_oh)
-        oh2 = jnp.einsum('tk,nks->nts', sel_k, ang_oh)
+        oh1 = jnp.einsum('tk,nks->nts', sel_j, ang_oh,
+                        precision=jax.lax.Precision.HIGH)
+        oh2 = jnp.einsum('tk,nks->nts', sel_k, ang_oh,
+                        precision=jax.lax.Precision.HIGH)
 
         dot = jnp.sum(d1 * d2, axis=-1)
         dot = jnp.where(tri_valid, dot, 0.0)
@@ -452,9 +464,11 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
         # ordered[n,s,u,a] = sum_j oh[n,j,s] X[n,j,u,a].
         oh_c = ang_oh.astype(cdt)
         x1 = jnp.einsum('nku,njka->njua', oh_c, tri_term.astype(cdt),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
         ordered = jnp.einsum('njs,njua->nsua', oh_c, x1.astype(cdt),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
         cols = []
         for s1 in range(s):
             for s2 in range(s1, s):
@@ -476,7 +490,8 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
         pair_oh = jnp.stack(cols, axis=-1) * tri_valid[..., None]
         angular = jnp.einsum('nta,ntp->npa', tri_term.astype(cdt),
                              pair_oh.astype(cdt),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
     else:
         if angular_impl == 'ordered2':
             # Materialize the (oh2 x tri) product explicitly, then one
@@ -486,13 +501,15 @@ def compute_aev_from_payload(payload, basis: ANIBasis,
                   * tri_term[..., None, :]).reshape(n, -1, s * a_len)
             ordered = jnp.einsum('nts,ntq->nsq', oh1.astype(cdt),
                                  m2.astype(cdt),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
             ordered = ordered.reshape(n, s, s, a_len)
         else:
             ordered = jnp.einsum('nts,ntu,nta->nsua', oh1.astype(cdt),
                                  (oh2 * tri_valid[..., None]).astype(cdt),
                                  tri_term.astype(cdt),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
         cols = []
         for s1 in range(s):
             for s2 in range(s1, s):

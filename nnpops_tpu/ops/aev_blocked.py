@@ -152,8 +152,15 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
 
     if angular_impl == 'pallas':
         from .pallas_aev import angular_aev_pallas
-        angular = angular_aev_pallas(payload.ang_deltas, payload.ang_mask,
-                                     basis, layout)
+        if payload.ang_deltas is None:
+            # Rad-only payload: extract the angular lanes from the radial
+            # payload inside the kernel (frozen ang_in_rad indices).
+            angular = angular_aev_pallas(
+                payload.rad_deltas, payload.ang_in_rad, basis, layout,
+                rad_width=payload.rad_deltas.shape[1])
+        else:
+            angular = angular_aev_pallas(payload.ang_deltas,
+                                         payload.ang_mask, basis, layout)
         return AEV(radial.reshape(n, -1), angular)
 
     # ---- Angular block: static species-pair-major triple enumeration.
@@ -166,12 +173,18 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
 
     sel_j = _selection_matrix(tables.jj, kat, dtype)             # [T, Kat]
     sel_k = _selection_matrix(tables.kk, kat, dtype)
-    d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta)
-    d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta)
-    r1 = jnp.einsum('tk,nk->nt', sel_j, r_a)
-    r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a)
-    v1 = jnp.einsum('tk,nk->nt', sel_j, ang_mask.astype(dtype))
-    v2 = jnp.einsum('tk,nk->nt', sel_k, ang_mask.astype(dtype))
+    d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta,
+                        precision=jax.lax.Precision.HIGH)
+    d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta,
+                        precision=jax.lax.Precision.HIGH)
+    r1 = jnp.einsum('tk,nk->nt', sel_j, r_a,
+                        precision=jax.lax.Precision.HIGH)
+    r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a,
+                        precision=jax.lax.Precision.HIGH)
+    v1 = jnp.einsum('tk,nk->nt', sel_j, ang_mask.astype(dtype),
+                        precision=jax.lax.Precision.HIGH)
+    v2 = jnp.einsum('tk,nk->nt', sel_k, ang_mask.astype(dtype),
+                        precision=jax.lax.Precision.HIGH)
     tri_valid = (v1 * v2) > 0.5
 
     dot = jnp.sum(d1 * d2, axis=-1)

@@ -32,6 +32,68 @@ Array = jnp.ndarray
 CELU_ALPHA = 0.1
 
 
+@jax.custom_vjp
+def _dot_bf16(x: Array, w: Array) -> Array:
+    """``x @ w`` with BOTH passes in bf16 (f32 accumulation).
+
+    A plain cast-then-dot only speeds up the forward: jax's transpose feeds
+    f32 cotangents into the backward matmuls, which then run at the (3x
+    slower) f32 MXU rate. This op keeps the cotangent products in bf16 too.
+    """
+    return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_bf16_fwd(x, w):
+    return _dot_bf16(x, w), (x, w)
+
+
+def _dot_bf16_bwd(res, g):
+    x, w = res
+    g16 = g.astype(jnp.bfloat16)
+    dx = jnp.dot(g16, w.astype(jnp.bfloat16).T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jnp.dot(x.astype(jnp.bfloat16).T, g16,
+                 preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, dw
+
+
+_dot_bf16.defvjp(_dot_bf16_fwd, _dot_bf16_bwd)
+
+
+@jax.custom_vjp
+def _batched_dot_bf16(h: Array, w: Array) -> Array:
+    """``[n, m, i] x [m, o, i] -> [m, n, o]`` (contract i, batch m), both
+    passes bf16 with f32 accumulation (see _dot_bf16)."""
+    return jax.lax.dot_general(h.astype(jnp.bfloat16),
+                               w.astype(jnp.bfloat16),
+                               (((2,), (2,)), ((1,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
+def _batched_dot_bf16_fwd(h, w):
+    return _batched_dot_bf16(h, w), (h, w)
+
+
+def _batched_dot_bf16_bwd(res, g):
+    h, w = res
+    g16 = g.astype(jnp.bfloat16)             # [m, n, o]
+    w16 = w.astype(jnp.bfloat16)             # [m, o, i]
+    h16 = h.astype(jnp.bfloat16)             # [n, m, i]
+    # dh[n, m, i] = sum_o g[m, n, o] w[m, o, i]
+    dh = jax.lax.dot_general(g16, w16, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dh = jnp.moveaxis(dh, 0, 1).astype(h.dtype)
+    # dw[m, o, i] = sum_n g[m, n, o] h[n, m, i]  (batch m, contract n).
+    dw = jax.lax.dot_general(g16, jnp.moveaxis(h16, 0, 1),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    return dh, dw.astype(w.dtype)
+
+
+_batched_dot_bf16.defvjp(_batched_dot_bf16_fwd, _batched_dot_bf16_bwd)
+
+
 def celu(x: Array, alpha: float = CELU_ALPHA) -> Array:
     """CELU activation with the ANI alpha=0.1 (BatchedNN.py:98)."""
     return jax.nn.celu(x, alpha=alpha)
@@ -93,20 +155,22 @@ def apply_species_net(net: SpeciesNet, x: Array,
     reference's 5e-3 force gate (TestSymmetryFunctions.py:66-70) but outside
     its 5e-7 energy gate, so this is opt-in (ANIModel ``nn_dtype``).
     """
-    cdt = compute_dtype or x.dtype
+    bf16 = compute_dtype == jnp.bfloat16
     m, out0, in0 = net.weights[0].shape
     w0 = net.weights[0].transpose(2, 0, 1).reshape(in0, m * out0)
-    h = jnp.dot(x.astype(cdt), w0.astype(cdt),
-                preferred_element_type=jnp.float32)
+    h = _dot_bf16(x, w0) if bf16 else jnp.dot(
+        x, w0, preferred_element_type=jnp.float32)
     h = h.reshape(x.shape[0], m, out0) + net.biases[0]
     h = celu(h)
     num_layers = len(net.weights)
     for layer in range(1, num_layers):
         w, b = net.weights[layer], net.biases[layer]
         # [n, m, i] x [m, o, i] -> [m, n, o], contracting i, batching m.
-        h = jax.lax.dot_general(h.astype(cdt), w.astype(cdt),
-                                (((2,), (2,)), ((1,), (0,))),
-                                preferred_element_type=jnp.float32)
+        if bf16:
+            h = _batched_dot_bf16(h, w)
+        else:
+            h = jax.lax.dot_general(h, w, (((2,), (2,)), ((1,), (0,))),
+                                    preferred_element_type=jnp.float32)
         h = jnp.moveaxis(h, 0, 1) + b
         if layer < num_layers - 1:
             h = celu(h)

@@ -66,7 +66,8 @@ def _kernel_constants(basis: ANIBasis, layout: BlockedLayout,
 def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         block_size: int = 128,
                         bwd_block_size: Optional[int] = None,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        rad_width: Optional[int] = None):
     """Build the fused angular-AEV function for one (basis, layout).
 
     Returns ``fn(ang_deltas [N, Kat, 3], ang_mask [N, Kat] bool) ->
@@ -74,6 +75,12 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     ``triple_tables(layout).pair_ids[s]``; the caller applies the 2^(1-zeta)
     scale and places segments into the full [P, A] layout (autodiff chains
     through both). Differentiable in ``ang_deltas`` via a custom VJP kernel.
+
+    ``rad_width``: when set, the function signature becomes
+    ``fn(rad_deltas [N, rad_width, 3], ang_in_rad [N, Kat] int32)`` and the
+    angular lanes are extracted from the RADIAL payload inside the kernel
+    (one-hot compare in VMEM) — the per-step HBM gather then only fetches
+    radial lanes. Invalid angular lanes carry index ``rad_width``.
     """
     if basis.angular_rs_grid is None:
         raise NotImplementedError(
@@ -103,22 +110,38 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     # halve its block to stay under the ~16 MB scoped-VMEM limit.
     bb = bwd_block_size if bwd_block_size is not None else max(8, b // 2)
 
+    # The selection matmuls must NOT run at the default MXU precision: one
+    # bf16 pass loses ~3 decimal digits of the coordinates (measured 1.6e-3
+    # mean relative AEV error on-chip). Mosaic supports only DEFAULT and
+    # HIGHEST dot precisions (HIGH raises NotImplementedError in lowering),
+    # so the kernel pays full f32 (bf16x6) on its selection matmuls; the XLA
+    # einsum paths use HIGH (bf16x3), which is enough for 0/1 matrices.
+    _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
     def pair_geometry(dx, dy, dz, m, selj, selk):
-        """Shared forward geometry on [B, Tp] arrays."""
-        f32 = jnp.float32
-        x1 = jnp.dot(dx, selj, preferred_element_type=f32)
-        y1 = jnp.dot(dy, selj, preferred_element_type=f32)
-        z1 = jnp.dot(dz, selj, preferred_element_type=f32)
-        x2 = jnp.dot(dx, selk, preferred_element_type=f32)
-        y2 = jnp.dot(dy, selk, preferred_element_type=f32)
-        z2 = jnp.dot(dz, selk, preferred_element_type=f32)
-        m1 = jnp.dot(m, selj, preferred_element_type=f32)
-        m2 = jnp.dot(m, selk, preferred_element_type=f32)
-        r1 = jnp.sqrt(x1 * x1 + y1 * y1 + z1 * z1 + (1.0 - m1))
-        r2 = jnp.sqrt(x2 * x2 + y2 * y2 + z2 * z2 + (1.0 - m2))
+        """Shared forward geometry on [B, Tp] arrays.
+
+        Masked lanes are pushed to a far-away coordinate before expansion so
+        their pairs fail the r < ra test on their own — no mask expansion
+        matmuls needed (the cutoff test IS the mask)."""
+        far = 4.0 * ra
+        dxm = dx + (1.0 - m) * far
+        x1 = _dot(dxm, selj)
+        y1 = _dot(dy, selj)
+        z1 = _dot(dz, selj)
+        x2 = _dot(dxm, selk)
+        y2 = _dot(dy, selk)
+        z2 = _dot(dz, selk)
+        r1 = jnp.sqrt(x1 * x1 + y1 * y1 + z1 * z1)
+        r2 = jnp.sqrt(x2 * x2 + y2 * y2 + z2 * z2)
         dot12 = x1 * x2 + y1 * y2 + z1 * z2
-        valid = (m1 * m2 * (r1 < ra).astype(jnp.float32)
+        valid = ((r1 < ra).astype(jnp.float32)
                  * (r2 < ra).astype(jnp.float32))
+        # Guard the reciprocals on PAD-t lanes where both selections are all
+        # zero (r = 0): real pairs always have r > 0.
+        r1 = jnp.maximum(r1, 1e-3)
+        r2 = jnp.maximum(r2, 1e-3)
         inv12 = 1.0 / (r1 * r2)
         if torchani:
             cos_t = jnp.clip(0.95 * dot12 * inv12, -0.95, 0.95)
@@ -138,19 +161,53 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         return ((x1, y1, z1), (x2, y2, z2), r1, r2, dot12, valid, inv12,
                 cos_t, sin_t, cross, rm, fc1, fc2)
 
+    def pow_static(base, exponent):
+        """base ** exponent with the integer part done by binary
+        exponentiation: exp(z*log x) alone amplifies log's absolute error by
+        z (~1.4e-3 relative at zeta=14.1, measured on-chip); the split keeps
+        the amplification at frac(z) <= 1."""
+        zi = int(math.floor(exponent))
+        zf = exponent - zi
+        result = None
+        sq = base
+        k = zi
+        while k:
+            if k & 1:
+                result = sq if result is None else result * sq
+            k >>= 1
+            if k:
+                sq = sq * sq
+        if zf > 1e-12:
+            frac = jnp.exp(zf * jnp.log(base))
+            result = frac if result is None else result * frac
+        return result if result is not None else jnp.ones_like(base)
+
     def cos_pows(cos_t, sin_t):
         out = []
         for ts in ts_grid:
             cos_tm = cos_t * math.cos(ts) + sin_t * math.sin(ts)
             base = jnp.maximum(1.0 + cos_tm, 1e-20)
-            out.append(jnp.exp(zeta * jnp.log(base)))
+            out.append(pow_static(base, zeta))
         return out
 
-    def fwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, selj_ref, selk_ref,
-                   out_ref):
+    def extract_onehot(idx):
+        """One-hot [B, Kat, rad_width] from the frozen lane indices (VMEM)."""
+        b_rows = idx.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32,
+                                        (b_rows, kat, rad_width), 2)
+        return (iota == idx[:, :, None]).astype(jnp.float32)
+
+    def extract_lanes(dxr, dyr, dzr, idx):
+        oh = extract_onehot(idx)
+        dx = jnp.sum(oh * dxr[:, None, :], axis=2)
+        dy = jnp.sum(oh * dyr[:, None, :], axis=2)
+        dz = jnp.sum(oh * dzr[:, None, :], axis=2)
+        m = (idx < rad_width).astype(jnp.float32)
+        return dx, dy, dz, m
+
+    def fwd_body(dx, dy, dz, m, selj, selk, out_ref):
         (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2
-         ) = pair_geometry(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
-                           selj_ref[:], selk_ref[:])
+         ) = pair_geometry(dx, dy, dz, m, selj, selk)
         vf = valid * fc1 * fc2
         cps = cos_pows(cos_t, sin_t)
         for i_rs, rs in enumerate(rs_grid):
@@ -162,10 +219,18 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                     col = i_seg * a_len + i_rs * n_ts + i_ts
                     out_ref[:, col] = jnp.sum(w[:, t0:t1], axis=1)
 
-    def bwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, g_ref, selj_ref, selk_ref,
-                   segmask_ref, ddx_ref, ddy_ref, ddz_ref):
-        dx, dy, dz, m = dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:]
-        selj, selk = selj_ref[:], selk_ref[:]
+    def fwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, selj_ref, selk_ref,
+                   out_ref):
+        fwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
+                 selj_ref[:], selk_ref[:], out_ref)
+
+    def fwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, idx_ref, selj_ref,
+                       selk_ref, out_ref):
+        dx, dy, dz, m = extract_lanes(dxr_ref[:], dyr_ref[:], dzr_ref[:],
+                                      idx_ref[:])
+        fwd_body(dx, dy, dz, m, selj_ref[:], selk_ref[:], out_ref)
+
+    def bwd_body(dx, dy, dz, m, g, selj, selk, segmask_ref):
         (d1, d2, r1, r2, dot12, valid, inv12, cos_t, sin_t, cross, rm,
          fc1, fc2) = pair_geometry(dx, dy, dz, m, selj, selk)
         x1, y1, z1 = d1
@@ -176,7 +241,6 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         a_acc = zeros                     # dW/d(vf)
         b_acc = zeros                     # dW/d(rm) / vf
         c_acc = [zeros] * n_ts            # dW/d(cos_pow[ts]) / vf
-        g = g_ref[:]
         for i_rs, rs in enumerate(rs_grid):
             u = rm - rs
             e_raw = jnp.exp(-eta * u * u)
@@ -198,8 +262,7 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         for i_ts, ts in enumerate(ts_grid):
             cos_tm = cos_t * math.cos(ts) + sin_t * math.sin(ts)
             base = jnp.maximum(1.0 + cos_tm, 1e-20)
-            dctm = (vf * c_acc[i_ts] * zeta
-                    * jnp.exp((zeta - 1.0) * jnp.log(base)))
+            dctm = vf * c_acc[i_ts] * zeta * pow_static(base, zeta - 1.0)
             dcos = dcos + dctm * math.cos(ts)
             dsin = dsin + dctm * math.sin(ts)
         dfc1 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r1)
@@ -249,15 +312,35 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         dd2x = dd2x * valid
         dd2y = dd2y * valid
         dd2z = dd2z * valid
-        f32 = jnp.float32
         seljt = selj.T
         selkt = selk.T
-        ddx_ref[:] = (jnp.dot(dd1x, seljt, preferred_element_type=f32)
-                      + jnp.dot(dd2x, selkt, preferred_element_type=f32))
-        ddy_ref[:] = (jnp.dot(dd1y, seljt, preferred_element_type=f32)
-                      + jnp.dot(dd2y, selkt, preferred_element_type=f32))
-        ddz_ref[:] = (jnp.dot(dd1z, seljt, preferred_element_type=f32)
-                      + jnp.dot(dd2z, selkt, preferred_element_type=f32))
+        ddx = _dot(dd1x, seljt) + _dot(dd2x, selkt)
+        ddy = _dot(dd1y, seljt) + _dot(dd2y, selkt)
+        ddz = _dot(dd1z, seljt) + _dot(dd2z, selkt)
+        return ddx, ddy, ddz
+
+    def bwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, g_ref, selj_ref, selk_ref,
+                   segmask_ref, ddx_ref, ddy_ref, ddz_ref):
+        ddx, ddy, ddz = bwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
+                                 g_ref[:], selj_ref[:], selk_ref[:],
+                                 segmask_ref)
+        ddx_ref[:] = ddx
+        ddy_ref[:] = ddy
+        ddz_ref[:] = ddz
+
+    def bwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, idx_ref, g_ref, selj_ref,
+                       selk_ref, segmask_ref, ddxr_ref, ddyr_ref, ddzr_ref):
+        idx = idx_ref[:]
+        dx, dy, dz, m = extract_lanes(dxr_ref[:], dyr_ref[:], dzr_ref[:],
+                                      idx)
+        ddx, ddy, ddz = bwd_body(dx, dy, dz, m, g_ref[:], selj_ref[:],
+                                 selk_ref[:], segmask_ref)
+        # Scatter the angular-lane grads back to radial lanes (transpose of
+        # the one-hot extraction; lanes are unique so this is exact).
+        oh = extract_onehot(idx)
+        ddxr_ref[:] = jnp.sum(oh * ddx[:, :, None], axis=1)
+        ddyr_ref[:] = jnp.sum(oh * ddy[:, :, None], axis=1)
+        ddzr_ref[:] = jnp.sum(oh * ddz[:, :, None], axis=1)
 
     # Keep kernel constants as NUMPY: the factory may run inside a jit trace
     # (first call), and a jnp array created there is a tracer — caching it
@@ -274,69 +357,85 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         return pl.BlockSpec((rows or b, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def run_fwd(dx, dy, dz, m):
+    lane_w = rad_width if rad_width is not None else kat
+    kfwd = fwd_kernel_rad if rad_width is not None else fwd_kernel
+    kbwd = bwd_kernel_rad if rad_width is not None else bwd_kernel
+
+    def lane_spec(rows):
+        return pl.BlockSpec((rows, lane_w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def aux_spec(rows):
+        # mask [*, Kat] f32 in plain mode; lane indices [*, Kat] i32 in
+        # rad mode — same block geometry either way.
+        return pl.BlockSpec((rows, kat), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def run_fwd(dx, dy, dz, aux):
         n = dx.shape[0]
         grid = (n // b,)
         return pl.pallas_call(
-            fwd_kernel,
+            kfwd,
             grid=grid,
-            in_specs=[row_spec(kat)] * 4 + [full_spec, full_spec],
+            in_specs=[lane_spec(b)] * 3 + [aux_spec(b), full_spec, full_spec],
             out_specs=row_spec(out_w),
             out_shape=jax.ShapeDtypeStruct((n, out_w), jnp.float32),
             interpret=interpret,
-        )(dx, dy, dz, m, jnp.asarray(selj_np), jnp.asarray(selk_np))
+        )(dx, dy, dz, aux, jnp.asarray(selj_np), jnp.asarray(selk_np))
 
-    def run_bwd(dx, dy, dz, m, g):
+    def run_bwd(dx, dy, dz, aux, g):
         n = dx.shape[0]
         grid = (n // bb,)
         return pl.pallas_call(
-            bwd_kernel,
+            kbwd,
             grid=grid,
-            in_specs=[row_spec(kat, bb)] * 4 + [row_spec(out_w, bb),
-                                                full_spec, full_spec,
-                                                seg_spec],
-            out_specs=(row_spec(kat, bb),) * 3,
-            out_shape=tuple(jax.ShapeDtypeStruct((n, kat), jnp.float32)
+            in_specs=[lane_spec(bb)] * 3 + [aux_spec(bb), row_spec(out_w, bb),
+                                            full_spec, full_spec, seg_spec],
+            out_specs=(lane_spec(bb),) * 3,
+            out_shape=tuple(jax.ShapeDtypeStruct((n, lane_w), jnp.float32)
                             for _ in range(3)),
             interpret=interpret,
-        )(dx, dy, dz, m, g, jnp.asarray(selj_np), jnp.asarray(selk_np),
+        )(dx, dy, dz, aux, g, jnp.asarray(selj_np), jnp.asarray(selk_np),
           jnp.asarray(segmask_np))
 
-    @jax.custom_vjp
-    def angular(deltas, mask):
-        return _fwd(deltas, mask)[0]
-
-    def _fwd(deltas, mask):
-        n = deltas.shape[0]
-        pad = (-n) % b
-        m = mask.astype(jnp.float32)
+    def split_pad(deltas, aux, pad):
         dx = deltas[..., 0]
         dy = deltas[..., 1]
         dz = deltas[..., 2]
+        if rad_width is None:
+            aux = aux.astype(jnp.float32)
+            aux_pad = jnp.zeros((pad, kat), jnp.float32)
+        else:
+            aux_pad = jnp.full((pad, kat), rad_width, jnp.int32)
         if pad:
-            z = jnp.zeros((pad, kat), jnp.float32)
-            dx, dy, dz, m = (jnp.concatenate([a, z]) for a in (dx, dy, dz, m))
-        out = run_fwd(dx, dy, dz, m)[:n]
-        return out, (deltas, mask)
+            z = jnp.zeros((pad, lane_w), jnp.float32)
+            dx, dy, dz = (jnp.concatenate([a, z]) for a in (dx, dy, dz))
+            aux = jnp.concatenate([aux, aux_pad])
+        return dx, dy, dz, aux
+
+    @jax.custom_vjp
+    def angular(deltas, aux):
+        return _fwd(deltas, aux)[0]
+
+    def _fwd(deltas, aux):
+        n = deltas.shape[0]
+        dx, dy, dz, auxp = split_pad(deltas, aux, (-n) % b)
+        out = run_fwd(dx, dy, dz, auxp)[:n]
+        return out, (deltas, aux)
 
     def _bwd(res, g):
-        deltas, mask = res
+        deltas, aux = res
         n = deltas.shape[0]
         pad = (-n) % bb
-        m = mask.astype(jnp.float32)
-        dx = deltas[..., 0]
-        dy = deltas[..., 1]
-        dz = deltas[..., 2]
+        dx, dy, dz, auxp = split_pad(deltas, aux, pad)
         gg = g
         if pad:
-            z = jnp.zeros((pad, kat), jnp.float32)
-            dx, dy, dz, m = (jnp.concatenate([a, z]) for a in (dx, dy, dz, m))
             gg = jnp.concatenate([g, jnp.zeros((pad, out_w), jnp.float32)])
-        ddx, ddy, ddz = run_bwd(dx, dy, dz, m, gg)
+        ddx, ddy, ddz = run_bwd(dx, dy, dz, auxp, gg)
         dd = jnp.stack([ddx[:n], ddy[:n], ddz[:n]], axis=-1)
         return dd, None
 
-    angular.defvjp(lambda d, m: _fwd(d, m), _bwd)
+    angular.defvjp(lambda d, a: _fwd(d, a), _bwd)
     return angular
 
 
@@ -345,14 +444,19 @@ _ANGULAR_CACHE: dict = {}
 
 def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
                        layout: BlockedLayout, block_size: int = 128,
-                       interpret: Optional[bool] = None) -> Array:
+                       interpret: Optional[bool] = None,
+                       rad_width: Optional[int] = None) -> Array:
     """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
     into the reference layout and scaled by 2^(1-zeta) (autodiff chains
-    through the placement)."""
-    key = (basis, layout, block_size, interpret)
+    through the placement).
+
+    With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
+    [N, rad_width, 3] and ``ang_mask`` is ``ang_in_rad`` [N, Kat] int32."""
+    key = (basis, layout, block_size, interpret, rad_width)
     if key not in _ANGULAR_CACHE:
-        _ANGULAR_CACHE[key] = make_angular_kernel(basis, layout, block_size,
-                                                  interpret)
+        _ANGULAR_CACHE[key] = make_angular_kernel(
+            basis, layout, block_size=block_size, interpret=interpret,
+            rad_width=rad_width)
     fn = _ANGULAR_CACHE[key]
     raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
     n = raw.shape[0]

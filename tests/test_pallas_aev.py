@@ -110,3 +110,37 @@ def test_ani_model_pallas_impl_matches_blocked():
     e2, f2 = pallas.energy_and_forces_fused(params, pos, box, cl)
     np.testing.assert_allclose(e1, e2, rtol=1e-6)
     np.testing.assert_allclose(f1, f2, rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_from_rad_matches_ang_payload():
+    """Rad-only payload + in-kernel angular extraction == explicit angular
+    payload (values and gradients through positions)."""
+    from nnpops_tpu.neighbors.blocked import (payload_from_blocked,
+                                              select_blocked)
+    basis = small_basis()
+    rng = np.random.RandomState(4)
+    n = 48
+    positions = rng.rand(n, 3).astype(np.float32) * 10.0
+    species = rng.randint(0, 3, n).astype(np.int32)
+    box = np.eye(3, dtype=np.float32) * 10.0
+    from nnpops_tpu.neighbors.blocked import plan_blocked_layout
+    layout = plan_blocked_layout(positions, box, species, basis.radial_cutoff,
+                                 basis.angular_cutoff, basis.num_species)
+    cl = CellList.create(box, basis.radial_cutoff, capacity=layout.rad_total)
+    sel = select_blocked(cl, jnp.asarray(positions), jnp.asarray(box),
+                         species, layout, basis.radial_cutoff,
+                         basis.angular_cutoff)
+
+    def loss(p, rad_only):
+        pay = payload_from_blocked(cl, p, jnp.asarray(box), sel,
+                                   rad_only=rad_only)
+        r, a = compute_aev_blocked(pay, basis, layout, angular_impl='pallas')
+        return jnp.sum(r * r) + jnp.sum(a * a), a
+
+    p = jnp.asarray(positions)
+    (e1, a1) = loss(p, True)
+    (e2, a2) = loss(p, False)
+    np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=1e-7)
+    g1 = jax.grad(lambda q: loss(q, True)[0])(p)
+    g2 = jax.grad(lambda q: loss(q, False)[0])(p)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
