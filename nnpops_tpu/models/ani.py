@@ -284,12 +284,27 @@ class ANIModel:
         if isinstance(sel, BlockedSelection):
             from ..neighbors.blocked import payload_from_blocked
             from ..ops.aev_blocked import compute_aev_blocked
+            from ..ops.batched_nn import ensemble_energy_grouped_rows
             pallas = self.aev_impl == 'pallas'
+            # Compose the species grouping into the payload's row reorder:
+            # the AEV rows then emerge species-grouped and the ensemble runs
+            # on static row slices with no per-step [N, aev] gather.
+            g = self.grouping
+            io_g = sel.inv_order[jnp.asarray(g.order)]
             payload = payload_from_blocked(cell_list, positions, box, sel,
-                                           rad_only=pallas)
+                                           rad_only=pallas,
+                                           layout=self.blocked_layout,
+                                           row_order=io_g)
             radial, angular = compute_aev_blocked(
                 payload, self.basis, self.blocked_layout, self.aev_chunk_size,
                 angular_impl='pallas' if pallas else 'xla')
+            feat = jnp.concatenate([radial, angular], axis=1)
+            e_nn = ensemble_energy_grouped_rows(params.ensemble, feat,
+                                                g.counts,
+                                                self.nn_compute_dtype)
+            sae = jnp.sum(params.self_energies[
+                jnp.asarray(self.species_array)])
+            return e_nn + sae
         else:
             from ..ops.aev import compute_aev_from_payload
             payload = cell_list.payload_from_selection(

@@ -341,42 +341,108 @@ def _build_mirror(slot_rows: Array, nbr: Array, mask: Array, cc: int) -> Array:
     s1 = jnp.broadcast_to(slot_rows[:, None], (n, k)).reshape(-1)
     s2 = nbr.reshape(-1)
     valid = mask.reshape(-1) & (s1 <= cc)
-    big = jnp.int32(cc + 2)
-    k1a = jnp.where(valid, s1, big)
-    k1b = jnp.where(valid, s2, big)
-    k2a = jnp.where(valid, s2, big)
-    k2b = jnp.where(valid, s1, big)
-    _, _, v1 = jax.lax.sort([k1a, k1b, flat], num_keys=2)
-    _, _, v2 = jax.lax.sort([k2a, k2b, flat], num_keys=2)
+    base = cc + 2
+    if base * base < 2 ** 32:
+        # Pack both keys into one uint32 — a single-key 2-operand sort is
+        # ~1/3 cheaper than the 3-operand 2-key variant at this size.
+        p1 = s1.astype(jnp.uint32) * np.uint32(base) + s2.astype(jnp.uint32)
+        p2 = s2.astype(jnp.uint32) * np.uint32(base) + s1.astype(jnp.uint32)
+        big = jnp.uint32(2 ** 32 - 1)
+        _, v1 = jax.lax.sort([jnp.where(valid, p1, big), flat], num_keys=1)
+        _, v2 = jax.lax.sort([jnp.where(valid, p2, big), flat], num_keys=1)
+    else:
+        big = jnp.int32(base)
+        k1a = jnp.where(valid, s1, big)
+        k1b = jnp.where(valid, s2, big)
+        k2a = jnp.where(valid, s2, big)
+        k2b = jnp.where(valid, s1, big)
+        _, _, v1 = jax.lax.sort([k1a, k1b, flat], num_keys=2)
+        _, _, v2 = jax.lax.sort([k2a, k2b, flat], num_keys=2)
     mirror = jnp.full((n * k,), n * k, jnp.int32).at[v1].set(v2)
     mirror = jnp.where(mask.reshape(-1), mirror, n * k)
     return mirror.reshape(n, k)
 
 
 def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
-                     cand_slot_atom, order, slot_of_sorted, idx_n, max_occ):
+                     cand_slot_atom, order, slot_of_sorted, idx_n, max_occ,
+                     rad_only_mirror=False):
     """Shared per-species packed-key compaction (cell and dense paths).
 
-    One int32 sort per (present species, radial|angular): valid species-s
-    candidates sort first by slot id; everything else is offset beyond every
-    valid value (the packed-key trick from CellList.select, per species).
+    Two-stage: ONE wide packed sort compacts all valid candidates (slot id
+    major; species index and the angular-window bit ride the low bits) to a
+    narrow ``K1 = rad_total`` front block, then the per-(species, rad|ang)
+    static-lane compactions sort only that narrow block. At production
+    sizes (candidate width ~1000, K1 ~100) this costs ~1 wide + 4 narrow
+    sorts instead of 4 wide ones.
+
+    Correctness of the K1 truncation: a row can only lose valid candidates
+    if its total count exceeds Sum_s caps_s, which requires at least one
+    species over its cap — exactly the condition ``did_overflow`` reports
+    (computed from the full-width masks below, before truncation).
     """
-    nbr_rad, rad_masks = [], []
-    nbr_ang, ang_masks = [], []
+    npres = len(layout.present)
+    sp_table = np.full(layout.num_species + 1, npres, np.int32)
+    for i, s in enumerate(layout.present):
+        sp_table[s] = i
+    sp_idx = jnp.asarray(sp_table)[cand_sp]                     # [N, kk]
+
     max_rad, max_ang = [], []
     for i, s in enumerate(layout.present):
-        is_s = cand_sp == s
-        for which, caps, nbrs, masks, maxes in (
-                ('rad', layout.rad_caps, nbr_rad, rad_masks, max_rad),
-                ('ang', layout.ang_caps, nbr_ang, ang_masks, max_ang)):
-            v = (valid if which == 'rad' else valid_ang) & is_s
-            k = caps[i]
-            packed = jnp.where(v, cand_slot_atom, cand_slot_atom + (cc + 1))
-            packed = jax.lax.sort(packed, dimension=1)[:, :k]
-            m = packed <= cc
-            nbrs.append(jnp.where(m, packed, cc))
-            masks.append(m)
-            maxes.append(jnp.max(jnp.sum(v.astype(jnp.int32), axis=1)))
+        is_s = sp_idx == i
+        max_rad.append(jnp.max(jnp.sum((valid & is_s).astype(jnp.int32), 1)))
+        max_ang.append(jnp.max(jnp.sum((valid_ang & is_s).astype(jnp.int32),
+                                       1)))
+
+    kk = cand_slot_atom.shape[1]
+    stride = 2 * (npres + 1)
+    k1 = min(kk, -(-layout.rad_total // 8) * 8)
+    big1 = jnp.int32(2 ** 31 - 1)
+    if cc * stride + stride < 2 ** 31 - 1 and k1 < kk:
+        packed = (cand_slot_atom * stride + sp_idx * 2
+                  + valid_ang.astype(jnp.int32))
+        packed = jnp.where(valid, packed, big1)
+        stage1 = jax.lax.sort(packed, dimension=1)[:, :k1]      # [N, K1]
+        valid1 = stage1 < big1
+        safe1 = jnp.where(valid1, stage1, 0)
+        slot1 = safe1 // stride
+        rem = safe1 % stride
+        sp1 = rem // 2
+        ang1 = (rem % 2) == 1
+    else:                       # tiny candidate sets / giant slot spaces
+        slot1 = cand_slot_atom
+        sp1 = sp_idx
+        ang1 = valid_ang
+        valid1 = valid
+    # Per-species compaction, ONE sort per species with an ANGULAR-FIRST
+    # key: lanes order as [ang-window neighbors (slot asc) | other radial
+    # neighbors (slot asc) | padding]. The angular sub-list is then exactly
+    # the first ang_caps lanes of the species' radial block — no separate
+    # angular sort, no lane matching, and consumers can slice the angular
+    # payload straight out of the radial payload.
+    base2 = cc + 2
+    nbr_rad, rad_masks = [], []
+    nbr_ang, ang_masks = [], []
+    air = []
+    krt = layout.rad_total
+    for i, s in enumerate(layout.present):
+        is_s = valid1 & (sp1 == i)
+        key = jnp.where(is_s,
+                        slot1 + jnp.where(ang1, 0, base2),
+                        2 * base2 + cc)
+        key = jax.lax.sort(key, dimension=1)[:, :layout.rad_caps[i]]
+        is_ang = key < base2
+        slot_s = jnp.where(is_ang, key, key - base2)
+        m = key < 2 * base2
+        nbr_rad.append(jnp.where(m, slot_s, cc))
+        rad_masks.append(m)
+        ac = layout.ang_caps[i]
+        ro = layout.rad_offsets[i]
+        nbr_ang.append(jnp.where(is_ang[:, :ac], slot_s[:, :ac], cc))
+        ang_masks.append(is_ang[:, :ac])
+        # Angular lane l of species block i sits at radial lane ro + l.
+        air.append(jnp.where(is_ang[:, :ac],
+                             jnp.arange(ro, ro + ac, dtype=jnp.int32)[None],
+                             krt))
 
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx_n, mode='drop')
     slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
@@ -386,22 +452,13 @@ def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
     rad_mask_c = jnp.concatenate(rad_masks, axis=1)
     nbr_ang_c = jnp.concatenate(nbr_ang, axis=1)
     ang_mask_c = jnp.concatenate(ang_masks, axis=1)
-    # Mirror indices in the combined [N, Krt+Kat] flat lane space (radial
-    # entries mirror within the radial lanes, angular within angular).
+    ang_in_rad = jnp.concatenate(air, axis=1)
+    # Mirror indices in the radial [N, Krt] flat lane space. The angular
+    # lists are sub-lists of the radial lanes, so the radial mirror is the
+    # only one any payload adjoint needs.
     slot32 = slot_of_sorted.astype(jnp.int32)
-    krt = nbr_rad_c.shape[1]
     kat = nbr_ang_c.shape[1]
-    kb = krt + kat
-    mr = _build_mirror(slot32, nbr_rad_c, rad_mask_c, cc)     # own ids < n*krt
-    ma = _build_mirror(slot32, nbr_ang_c, ang_mask_c, cc)
-    mr_c = jnp.where(mr < n * krt, (mr // krt) * kb + mr % krt, n * kb)
-    ma_c = jnp.where(ma < n * kat, (ma // kat) * kb + krt + ma % kat, n * kb)
-    # Position of each angular neighbor inside the radial lane list (exact
-    # slot-id match; unique within a row). Invalid -> krt.
-    match = (nbr_ang_c[:, :, None] == nbr_rad_c[:, None, :]) \
-        & ang_mask_c[:, :, None] & rad_mask_c[:, None, :]
-    ang_in_rad = jnp.where(jnp.any(match, axis=2),
-                           jnp.argmax(match, axis=2).astype(jnp.int32), krt)
+    mr_c = _build_mirror(slot32, nbr_rad_c, rad_mask_c, cc)
     return BlockedSelection(
         order=order.astype(jnp.int32),
         slot_of_sorted=slot32,
@@ -410,7 +467,7 @@ def _compact_blocked(n, cc, layout, valid, valid_ang, cand_sp,
         nbr_ang=nbr_ang_c, ang_mask=ang_mask_c,
         max_rad=jnp.stack(max_rad), max_ang=jnp.stack(max_ang),
         max_cell_occupancy=max_occ,
-        mirror=jnp.concatenate([mr_c, ma_c], axis=1),
+        mirror=mr_c,
         ang_in_rad=ang_in_rad)
 
 
@@ -472,20 +529,32 @@ _gather_slots_mirror.defvjp(_gather_slots_mirror_fwd, _gather_slots_mirror_bwd)
 def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
                          sel: BlockedSelection,
                          mirror_vjp: bool = True,
-                         rad_only: bool = False) -> BlockedPayload:
+                         rad_only: bool = False,
+                         layout: Optional[BlockedLayout] = None,
+                         row_order: Optional[Array] = None,
+                         ) -> BlockedPayload:
     """The differentiable per-step phase: re-scatter current positions into
-    the frozen slots, fetch neighbor positions with ONE packed gather,
-    recompute deltas/distances. No species features ride the payload — the
-    layout already encodes species statically.
+    the frozen slots, fetch neighbor positions with ONE packed gather of the
+    RADIAL lanes, recompute deltas/distances. The angular lanes are the
+    leading sub-block of each species' radial block (angular-first lane
+    order, see ``_compact_blocked``), so the angular payload is just static
+    slices of the radial payload — never gathered separately.
 
     ``mirror_vjp``: route the gather's adjoint through the frozen mirror
     list (gather) instead of XLA's scatter-add. Requires no capacity
     overflow (list symmetry) — which the overflow contract already demands.
 
-    ``rad_only``: gather only the radial lanes; the angular payload is NOT
-    materialized (``ang_deltas``/``ang_r`` = None) — consumers extract the
-    angular lanes from the radial ones via ``ang_in_rad`` (the fused Pallas
-    kernel does this in VMEM). ~30% fewer gather rows per step.
+    ``rad_only``: skip materializing the angular slices (``ang_deltas`` /
+    ``ang_r`` = None); consumers slice the radial payload themselves (the
+    fused Pallas kernel does, in VMEM).
+
+    ``layout``: required when ``rad_only=False`` (slice boundaries).
+
+    ``row_order``: internal (cell-sorted) row index per output row; defaults
+    to ``sel.inv_order`` (original atom order). Passing a composed
+    permutation (e.g. species-grouped) makes every payload row — and hence
+    every AEV row — emerge directly in that order, so downstream consumers
+    (the species-blocked ensemble) need no per-step row gather of their own.
     """
     n = positions.shape[0]
     pos_sorted = positions[sel.order]
@@ -496,43 +565,40 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
     else:
         slots = jnp.concatenate(
             [pos_sorted, jnp.zeros((1, 3), positions.dtype)], axis=0)
-    krt = sel.nbr_rad.shape[1]
-    kb = krt + sel.nbr_ang.shape[1]
-    if rad_only:
-        idx = sel.nbr_rad
-        idx_mask = sel.rad_mask
-        # Mirror values live in the combined [row*(Krt+Kat)+lane] flat space;
-        # remap the radial block to rad-only flat indices.
-        mr = sel.mirror[:, :krt]
-        mirror = jnp.where(mr < n * kb, (mr // kb) * krt + mr % kb, n * krt)
-    else:
-        idx = jnp.concatenate([sel.nbr_rad, sel.nbr_ang], axis=1)
-        idx_mask = jnp.concatenate([sel.rad_mask, sel.ang_mask], axis=1)
-        mirror = sel.mirror
+    idx = sel.nbr_rad
     if mirror_vjp:
-        gathered = _gather_slots_mirror(slots, idx, mirror, idx_mask,
+        gathered = _gather_slots_mirror(slots, idx, sel.mirror, sel.rad_mask,
                                         sel.slot_of_sorted)
     else:
         gathered = slots[idx.reshape(-1)].reshape(n, idx.shape[1], 3)
 
-    def finish(nbr_pos, mask):
-        deltas = minimum_image(nbr_pos - pos_sorted[:, None, :], box)
-        deltas = jnp.where(mask[..., None], deltas, 0.0)
-        r = jnp.sqrt(jnp.where(mask, jnp.sum(deltas * deltas, -1), 1.0))
-        return deltas, jnp.where(mask, r, 0.0)
+    deltas = minimum_image(gathered - pos_sorted[:, None, :], box)
+    deltas = jnp.where(sel.rad_mask[..., None], deltas, 0.0)
+    r = jnp.sqrt(jnp.where(sel.rad_mask,
+                           jnp.sum(deltas * deltas, -1), 1.0))
+    r = jnp.where(sel.rad_mask, r, 0.0)
 
-    io = sel.inv_order
-    rad_deltas, rad_r = finish(gathered[:, :krt], sel.rad_mask)
+    io = sel.inv_order if row_order is None else row_order
+    rad_deltas, rad_r = deltas[io], r[io]
+    ang_mask = sel.ang_mask[io]
     if rad_only:
         ang_deltas = ang_r = None
         ang_in_rad = sel.ang_in_rad[io]
     else:
-        ang_deltas, ang_r = finish(gathered[:, krt:], sel.ang_mask)
-        ang_deltas, ang_r = ang_deltas[io], ang_r[io]
+        if layout is None:
+            raise ValueError('layout required unless rad_only=True')
+        ang_deltas = jnp.concatenate(
+            [rad_deltas[:, ro:ro + ac]
+             for ro, ac in zip(layout.rad_offsets, layout.ang_caps)], axis=1)
+        ang_r = jnp.concatenate(
+            [rad_r[:, ro:ro + ac]
+             for ro, ac in zip(layout.rad_offsets, layout.ang_caps)], axis=1)
+        ang_deltas = jnp.where(ang_mask[..., None], ang_deltas, 0.0)
+        ang_r = jnp.where(ang_mask, ang_r, 0.0)
         ang_in_rad = None
     return BlockedPayload(
-        rad_deltas=rad_deltas[io], rad_r=rad_r[io], rad_mask=sel.rad_mask[io],
-        ang_deltas=ang_deltas, ang_r=ang_r, ang_mask=sel.ang_mask[io],
+        rad_deltas=rad_deltas, rad_r=rad_r, rad_mask=sel.rad_mask[io],
+        ang_deltas=ang_deltas, ang_r=ang_r, ang_mask=ang_mask,
         max_rad=sel.max_rad, max_ang=sel.max_ang,
         max_cell_occupancy=sel.max_cell_occupancy,
         ang_in_rad=ang_in_rad)
@@ -545,4 +611,4 @@ def build_blocked_payload(cell_list: CellList, positions: Array, box: Array,
     """Select + payload in one call (non-sticky stepping)."""
     sel = select_blocked(cell_list, positions, box, species, layout,
                          radial_cutoff, angular_cutoff)
-    return payload_from_blocked(cell_list, positions, box, sel)
+    return payload_from_blocked(cell_list, positions, box, sel, layout=layout)

@@ -153,10 +153,10 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
     if angular_impl == 'pallas':
         from .pallas_aev import angular_aev_pallas
         if payload.ang_deltas is None:
-            # Rad-only payload: extract the angular lanes from the radial
-            # payload inside the kernel (frozen ang_in_rad indices).
+            # Rad-only payload: the angular lanes are static slices of the
+            # radial payload (angular-first lane order).
             angular = angular_aev_pallas(
-                payload.rad_deltas, payload.ang_in_rad, basis, layout,
+                payload.rad_deltas, payload.ang_mask, basis, layout,
                 rad_width=payload.rad_deltas.shape[1])
         else:
             angular = angular_aev_pallas(payload.ang_deltas,

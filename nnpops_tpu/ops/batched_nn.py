@@ -63,11 +63,12 @@ _dot_bf16.defvjp(_dot_bf16_fwd, _dot_bf16_bwd)
 
 @jax.custom_vjp
 def _batched_dot_bf16(h: Array, w: Array) -> Array:
-    """``[n, m, i] x [m, o, i] -> [m, n, o]`` (contract i, batch m), both
-    passes bf16 with f32 accumulation (see _dot_bf16)."""
+    """``[m, n, i] x [m, o, i] -> [m, n, o]`` (contract i, batch m), both
+    passes bf16 with f32 accumulation (see _dot_bf16). Model-major layout
+    end to end: no transposes anywhere, forward or backward."""
     return jax.lax.dot_general(h.astype(jnp.bfloat16),
                                w.astype(jnp.bfloat16),
-                               (((2,), (2,)), ((1,), (0,))),
+                               (((2,), (2,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
 
 
@@ -79,16 +80,14 @@ def _batched_dot_bf16_bwd(res, g):
     h, w = res
     g16 = g.astype(jnp.bfloat16)             # [m, n, o]
     w16 = w.astype(jnp.bfloat16)             # [m, o, i]
-    h16 = h.astype(jnp.bfloat16)             # [n, m, i]
-    # dh[n, m, i] = sum_o g[m, n, o] w[m, o, i]
+    h16 = h.astype(jnp.bfloat16)             # [m, n, i]
+    # dh[m, n, i] = sum_o g[m, n, o] w[m, o, i]
     dh = jax.lax.dot_general(g16, w16, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dh = jnp.moveaxis(dh, 0, 1).astype(h.dtype)
-    # dw[m, o, i] = sum_n g[m, n, o] h[n, m, i]  (batch m, contract n).
-    dw = jax.lax.dot_general(g16, jnp.moveaxis(h16, 0, 1),
-                             (((1,), (1,)), ((0,), (0,))),
+    # dw[m, o, i] = sum_n g[m, n, o] h[m, n, i]  (batch m, contract n).
+    dw = jax.lax.dot_general(g16, h16, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    return dh, dw.astype(w.dtype)
+    return dh.astype(h.dtype), dw.astype(w.dtype)
 
 
 _batched_dot_bf16.defvjp(_batched_dot_bf16_fwd, _batched_dot_bf16_bwd)
@@ -160,21 +159,24 @@ def apply_species_net(net: SpeciesNet, x: Array,
     w0 = net.weights[0].transpose(2, 0, 1).reshape(in0, m * out0)
     h = _dot_bf16(x, w0) if bf16 else jnp.dot(
         x, w0, preferred_element_type=jnp.float32)
-    h = h.reshape(x.shape[0], m, out0) + net.biases[0]
-    h = celu(h)
+    # Model-major [m, n, o] from here on: ONE relayout after layer 0, then
+    # every deeper matmul (and its VJP) is transpose-free — the per-layer
+    # moveaxis of the [n, m, o] layout was pure HBM relayout traffic.
+    h = jnp.moveaxis(h.reshape(x.shape[0], m, out0), 0, 1)
+    h = celu(h + net.biases[0][:, None, :])
     num_layers = len(net.weights)
     for layer in range(1, num_layers):
         w, b = net.weights[layer], net.biases[layer]
-        # [n, m, i] x [m, o, i] -> [m, n, o], contracting i, batching m.
+        # [m, n, i] x [m, o, i] -> [m, n, o], contracting i, batching m.
         if bf16:
             h = _batched_dot_bf16(h, w)
         else:
-            h = jax.lax.dot_general(h, w, (((2,), (2,)), ((1,), (0,))),
+            h = jax.lax.dot_general(h, w, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
-        h = jnp.moveaxis(h, 0, 1) + b
+        h = h + b[:, None, :]
         if layer < num_layers - 1:
             h = celu(h)
-    return h[..., 0]  # [n, models]
+    return h[:, :, 0].T  # [n, models]
 
 
 class SpeciesGrouping(NamedTuple):
@@ -219,6 +221,25 @@ def ensemble_energy(params: EnsembleParams, aev: Array,
     (the fused sum/mean of BatchedNN.py:105-109)."""
     return jnp.sum(atomic_energies_grouped(params, aev, grouping,
                                            compute_dtype))
+
+
+def ensemble_energy_grouped_rows(params: EnsembleParams, aev: Array,
+                                 counts: Sequence[int],
+                                 compute_dtype=None) -> Array:
+    """Total NN energy when the AEV rows are ALREADY species-grouped
+    (``counts[s]`` contiguous rows per species, ascending species order) —
+    no per-step row gather at all. The blocked pipeline produces its rows in
+    this order directly (``payload_from_blocked(row_order=...)``)."""
+    total = jnp.zeros((), jnp.float32)
+    start = 0
+    for s, count in enumerate(counts):
+        if count == 0:
+            continue
+        block = jax.lax.slice_in_dim(aev, start, start + count, axis=0)
+        e = apply_species_net(params.networks[s], block, compute_dtype)
+        total = total + jnp.sum(jnp.mean(e, axis=-1))
+        start += count
+    return total
 
 
 # ---------------------------------------------------------------------------

@@ -77,10 +77,12 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     through both). Differentiable in ``ang_deltas`` via a custom VJP kernel.
 
     ``rad_width``: when set, the function signature becomes
-    ``fn(rad_deltas [N, rad_width, 3], ang_in_rad [N, Kat] int32)`` and the
-    angular lanes are extracted from the RADIAL payload inside the kernel
-    (one-hot compare in VMEM) — the per-step HBM gather then only fetches
-    radial lanes. Invalid angular lanes carry index ``rad_width``.
+    ``fn(rad_deltas [N, rad_width, 3], ang_mask [N, Kat])`` and the angular
+    lanes are STATIC SLICES of the radial payload (the blocked selection
+    orders every species block angular-first, so species block i's angular
+    lanes are radial lanes [rad_off_i, rad_off_i + ang_caps_i)) — the
+    per-step HBM gather only ever fetches radial lanes, and the in-kernel
+    extraction is free.
     """
     if basis.angular_rs_grid is None:
         raise NotImplementedError(
@@ -105,10 +107,19 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     torchani = bool(basis.torchani)
     segs = [(int(tables.seg_bounds[i]), int(tables.seg_bounds[i + 1]))
             for i in range(n_seg)]
-    b = block_size
-    # The bwd kernel keeps ~3x more [B, Tp] arrays live than the fwd —
-    # halve its block to stay under the ~16 MB scoped-VMEM limit.
-    bb = bwd_block_size if bwd_block_size is not None else max(8, b // 2)
+    # VMEM-adaptive atom blocks: the fwd keeps ~18 [B, Tp] f32 arrays live,
+    # the bwd ~46. Larger angular capacities (e.g. Verlet-skin-widened
+    # windows) grow Tp; a fixed block then overflows the ~16 MB scoped VMEM
+    # and Mosaic spills to HBM at integer-factor cost (measured: the 26k
+    # skin=0.5 run regressed 4x before this sizing).
+    _budget = 11 * 2 ** 20
+
+    def _cap_rows(n_arrays: int, default: int) -> int:
+        rows = _budget // (n_arrays * tp * 4)
+        return max(8, min(default, (rows // 8) * 8))
+
+    b = _cap_rows(18, block_size)
+    bb = bwd_block_size if bwd_block_size is not None else _cap_rows(46, b)
 
     # The selection matmuls must NOT run at the default MXU precision: one
     # bf16 pass loses ~3 decimal digits of the coordinates (measured 1.6e-3
@@ -190,20 +201,26 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             out.append(pow_static(base, zeta))
         return out
 
-    def extract_onehot(idx):
-        """One-hot [B, Kat, rad_width] from the frozen lane indices (VMEM)."""
-        b_rows = idx.shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.int32,
-                                        (b_rows, kat, rad_width), 2)
-        return (iota == idx[:, :, None]).astype(jnp.float32)
+    ang_slices = tuple(zip(layout.rad_offsets, layout.ang_caps))
 
-    def extract_lanes(dxr, dyr, dzr, idx):
-        oh = extract_onehot(idx)
-        dx = jnp.sum(oh * dxr[:, None, :], axis=2)
-        dy = jnp.sum(oh * dyr[:, None, :], axis=2)
-        dz = jnp.sum(oh * dzr[:, None, :], axis=2)
-        m = (idx < rad_width).astype(jnp.float32)
-        return dx, dy, dz, m
+    def slice_ang(a):
+        """Angular lanes = leading sub-block of each species' radial block
+        (static slices; angular-first lane order)."""
+        return jnp.concatenate([a[:, ro:ro + ac] for ro, ac in ang_slices],
+                               axis=1)
+
+    def unslice_ang(blocks_dd, rows):
+        """Transpose of slice_ang: place angular-lane grads back at their
+        radial lane positions, zeros elsewhere."""
+        pieces = []
+        off = 0
+        for i, (ro, ac) in enumerate(ang_slices):
+            rc_i = layout.rad_caps[i]
+            pieces.append(blocks_dd[:, off:off + ac])
+            if rc_i > ac:
+                pieces.append(jnp.zeros((rows, rc_i - ac), jnp.float32))
+            off += ac
+        return jnp.concatenate(pieces, axis=1)
 
     def fwd_body(dx, dy, dz, m, selj, selk, out_ref):
         (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2
@@ -224,11 +241,11 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         fwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
                  selj_ref[:], selk_ref[:], out_ref)
 
-    def fwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, idx_ref, selj_ref,
+    def fwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, selj_ref,
                        selk_ref, out_ref):
-        dx, dy, dz, m = extract_lanes(dxr_ref[:], dyr_ref[:], dzr_ref[:],
-                                      idx_ref[:])
-        fwd_body(dx, dy, dz, m, selj_ref[:], selk_ref[:], out_ref)
+        fwd_body(slice_ang(dxr_ref[:]), slice_ang(dyr_ref[:]),
+                 slice_ang(dzr_ref[:]), m_ref[:],
+                 selj_ref[:], selk_ref[:], out_ref)
 
     def bwd_body(dx, dy, dz, m, g, selj, selk, segmask_ref):
         (d1, d2, r1, r2, dot12, valid, inv12, cos_t, sin_t, cross, rm,
@@ -328,19 +345,17 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         ddy_ref[:] = ddy
         ddz_ref[:] = ddz
 
-    def bwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, idx_ref, g_ref, selj_ref,
+    def bwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, g_ref, selj_ref,
                        selk_ref, segmask_ref, ddxr_ref, ddyr_ref, ddzr_ref):
-        idx = idx_ref[:]
-        dx, dy, dz, m = extract_lanes(dxr_ref[:], dyr_ref[:], dzr_ref[:],
-                                      idx)
-        ddx, ddy, ddz = bwd_body(dx, dy, dz, m, g_ref[:], selj_ref[:],
-                                 selk_ref[:], segmask_ref)
-        # Scatter the angular-lane grads back to radial lanes (transpose of
-        # the one-hot extraction; lanes are unique so this is exact).
-        oh = extract_onehot(idx)
-        ddxr_ref[:] = jnp.sum(oh * ddx[:, :, None], axis=1)
-        ddyr_ref[:] = jnp.sum(oh * ddy[:, :, None], axis=1)
-        ddzr_ref[:] = jnp.sum(oh * ddz[:, :, None], axis=1)
+        rows = dxr_ref.shape[0]
+        ddx, ddy, ddz = bwd_body(slice_ang(dxr_ref[:]), slice_ang(dyr_ref[:]),
+                                 slice_ang(dzr_ref[:]), m_ref[:], g_ref[:],
+                                 selj_ref[:], selk_ref[:], segmask_ref)
+        # Static transpose of the slicing: grads land back at the angular
+        # sub-block of each species' radial lanes.
+        ddxr_ref[:] = unslice_ang(ddx, rows)
+        ddyr_ref[:] = unslice_ang(ddy, rows)
+        ddzr_ref[:] = unslice_ang(ddz, rows)
 
     # Keep kernel constants as NUMPY: the factory may run inside a jit trace
     # (first call), and a jnp array created there is a tracer — caching it
@@ -366,8 +381,7 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                             memory_space=pltpu.VMEM)
 
     def aux_spec(rows):
-        # mask [*, Kat] f32 in plain mode; lane indices [*, Kat] i32 in
-        # rad mode — same block geometry either way.
+        # Angular mask [*, Kat] f32 (both modes).
         return pl.BlockSpec((rows, kat), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
@@ -402,15 +416,11 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         dx = deltas[..., 0]
         dy = deltas[..., 1]
         dz = deltas[..., 2]
-        if rad_width is None:
-            aux = aux.astype(jnp.float32)
-            aux_pad = jnp.zeros((pad, kat), jnp.float32)
-        else:
-            aux_pad = jnp.full((pad, kat), rad_width, jnp.int32)
+        aux = aux.astype(jnp.float32)
         if pad:
             z = jnp.zeros((pad, lane_w), jnp.float32)
             dx, dy, dz = (jnp.concatenate([a, z]) for a in (dx, dy, dz))
-            aux = jnp.concatenate([aux, aux_pad])
+            aux = jnp.concatenate([aux, jnp.zeros((pad, kat), jnp.float32)])
         return dx, dy, dz, aux
 
     @jax.custom_vjp
@@ -451,7 +461,7 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
     through the placement).
 
     With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
-    [N, rad_width, 3] and ``ang_mask`` is ``ang_in_rad`` [N, Kat] int32."""
+    [N, rad_width, 3] (the angular lanes are static slices of it)."""
     key = (basis, layout, block_size, interpret, rad_width)
     if key not in _ANGULAR_CACHE:
         _ANGULAR_CACHE[key] = make_angular_kernel(

@@ -90,7 +90,7 @@ def test_blocked_with_verlet_skin_and_reuse():
         drift *= 0.9 * skin / np.abs(drift).max() / 2 / 3   # < skin/2 total
         positions = positions + drift
         payload = payload_from_blocked(cl, jnp.asarray(positions),
-                                       jnp.asarray(box), sel)
+                                       jnp.asarray(box), sel, layout=layout)
         got = compute_aev_blocked(payload, basis, layout)
         want = oracle_aev(positions, species, basis, box)
         np.testing.assert_allclose(got.radial, want.radial,
@@ -203,7 +203,7 @@ def test_mirror_vjp_matches_scatter_vjp():
 
         def loss(p, mirror):
             pay = payload_from_blocked(cl, p, jnp.asarray(box), sel,
-                                       mirror_vjp=mirror)
+                                       mirror_vjp=mirror, layout=layout)
             r, a = compute_aev_blocked(pay, basis, layout)
             return jnp.sum(r * r) + jnp.sum(a)
 

@@ -133,7 +133,7 @@ def test_pallas_from_rad_matches_ang_payload():
 
     def loss(p, rad_only):
         pay = payload_from_blocked(cl, p, jnp.asarray(box), sel,
-                                   rad_only=rad_only)
+                                   rad_only=rad_only, layout=layout)
         r, a = compute_aev_blocked(pay, basis, layout, angular_impl='pallas')
         return jnp.sum(r * r) + jnp.sum(a * a), a
 
