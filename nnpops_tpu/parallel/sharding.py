@@ -126,14 +126,18 @@ def jit_train_step(model: ANIModel, optimizer, mesh: Mesh,
 
 
 def tp_ensemble_energy(model: ANIModel, mesh: Mesh, axis: str = 'mp') -> Callable:
-    """Tensor-parallel ensemble evaluation: the layer-0 contraction over the
-    AEV axis (the only large contraction in the workload — 1008-wide) is
-    sharded across ``axis``; each device multiplies its slice of W0 against
-    its slice of the features and a single psum reconstructs the activations.
-    Layers 1+ run replicated (their contractions are tiny).
+    """Tensor-parallel ensemble evaluation — EVERY layer sharded.
 
-    Returns ``fn(params, aev) -> energy``. The AEV length must divide the
-    axis size.
+    Layer 0 (the only large contraction in the workload, 1008-wide) shards
+    over the AEV (contraction) axis: each device multiplies its slice of W0
+    against its slice of the features and one psum reconstructs the
+    activations. Layers 1+ then shard over the MODEL axis (their per-model
+    contractions are tiny, so splitting the batched model dim is the only
+    profitable split); a final scalar psum combines the per-device partial
+    energies. Two collectives total per call.
+
+    Returns ``fn(params, aev) -> energy``. The AEV length and the ensemble
+    size must both divide the axis size.
     """
     shard_map = jax.shard_map
     axis_size = mesh.shape[axis]
@@ -141,23 +145,31 @@ def tp_ensemble_energy(model: ANIModel, mesh: Mesh, axis: str = 'mp') -> Callabl
     if aev_len % axis_size:
         raise ValueError(f'axis size {axis_size} must divide aev length {aev_len}')
     grouping = model.grouping
-    from ..ops.batched_nn import apply_species_net, SpeciesNet, celu
+    from ..ops.batched_nn import celu
 
     def fn(params: ANIParams, aev: Array) -> Array:
         def shard_fn(params, aev_slice):
             # aev_slice: [N, aev_len / axis_size]; W0 slice on the
             # contraction dim. Compute partial layer-0 products and psum.
             total = jnp.zeros((), aev_slice.dtype)
+            idx = jax.lax.axis_index(axis)
             gathered = aev_slice[jnp.asarray(grouping.order)]
             start = 0
-            pieces = []
             for s, count in enumerate(grouping.counts):
                 if count == 0:
                     continue
                 net = params.ensemble.networks[s]
                 block = jax.lax.slice_in_dim(gathered, start, start + count, axis=0)
                 m, out0, in0 = net.weights[0].shape
-                idx = jax.lax.axis_index(axis)
+                # Model-axis sharding of the tail needs axis_size | m;
+                # otherwise the tail runs replicated (correct, just not
+                # split — e.g. an 8-way TP axis over a 4-model ensemble).
+                sharded_tail = m % axis_size == 0
+                m_loc = m // axis_size if sharded_tail else m
+                m_start = idx * m_loc if sharded_tail else 0
+                # psum at the end sums every device's partial; a replicated
+                # tail contributes axis_size identical copies.
+                divisor = m if sharded_tail else m * axis_size
                 w0_slice = jax.lax.dynamic_slice_in_dim(
                     net.weights[0], idx * (in0 // axis_size),
                     in0 // axis_size, axis=2)
@@ -167,21 +179,136 @@ def tp_ensemble_energy(model: ANIModel, mesh: Mesh, axis: str = 'mp') -> Callabl
                 h = jax.lax.psum(partial, axis)           # TP allreduce
                 h = h.reshape(block.shape[0], m, out0) + net.biases[0]
                 h = celu(h)
-                rest = SpeciesNet(net.weights[1:], net.biases[1:])
-                for layer in range(len(rest.weights)):
-                    w, b = rest.weights[layer], rest.biases[layer]
-                    h = jax.lax.dot_general(h, w, (((2,), (2,)), ((1,), (0,))),
+                # Layers 1+: model-axis sharding — this device keeps models
+                # [m_start, m_start + m_loc) and the tail runs local-only.
+                h = jnp.moveaxis(h, 0, 1)                 # [m, n, out0]
+                h = jax.lax.dynamic_slice_in_dim(h, m_start, m_loc, 0)
+                num_layers = len(net.weights)
+                for layer in range(1, num_layers):
+                    w = jax.lax.dynamic_slice_in_dim(
+                        net.weights[layer], m_start, m_loc, 0)
+                    b = jax.lax.dynamic_slice_in_dim(
+                        net.biases[layer], m_start, m_loc, 0)
+                    h = jax.lax.dot_general(h, w, (((2,), (2,)), ((0,), (0,))),
                                             preferred_element_type=jnp.float32)
-                    h = jnp.moveaxis(h, 0, 1) + b
-                    if layer < len(rest.weights) - 1:
+                    h = h + b[:, None, :]
+                    if layer < num_layers - 1:
                         h = celu(h)
-                total = total + jnp.sum(jnp.mean(h[..., 0], axis=-1))
+                total = total + jnp.sum(h[:, :, 0]) / divisor
                 start += count
-            return total
+            return jax.lax.psum(total, axis)
 
         in_specs = (P(), P(None, axis))
         return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                          out_specs=P())(params, aev)
+
+    return fn
+
+
+def pipeline_ani_ensemble_energy(model: ANIModel, mesh: Mesh,
+                                 axis: str = 'mp') -> Callable:
+    """TRUE pipeline-parallel evaluation of the real ANI ensemble: layer i
+    of the per-species CELU atomic networks runs on device i of ``axis``
+    (stages == network depth), with species-homogeneous microbatches of
+    atoms streaming through ``ppermute`` handoffs (1F pipeline, bubble =
+    stages-1).
+
+    Heterogeneity is handled without cross-layer weight padding: every
+    stage's computation is a ``lax.switch`` over (layer == axis_index,
+    species of the in-flight microbatch); activations ride a buffer padded
+    to the widest hidden layer. Weights stay replicated — PP here places
+    COMPUTE, which is the part that matters for a shallow-MLP workload.
+
+    Returns ``fn(params, aev) -> total NN energy`` (no SAE term), equal to
+    :func:`nnpops_tpu.ops.batched_nn.ensemble_energy`.
+    """
+    shard_map = jax.shard_map
+    stages = mesh.shape[axis]
+    grouping = model.grouping
+    from ..ops.batched_nn import celu
+
+    present = [s for s, c in enumerate(grouping.counts) if c > 0]
+    counts = [grouping.counts[s] for s in present]
+    mb = max(counts)
+    num_mb = len(present)
+
+    def fn(params: ANIParams, aev: Array) -> Array:
+        nets = params.ensemble.networks
+        num_layers = len(nets[present[0]].weights)
+        if num_layers != stages:
+            raise ValueError(f'pipeline needs axis size == network depth '
+                             f'({stages} != {num_layers})')
+        m = nets[present[0]].weights[0].shape[0]
+        h_max = max(max(w.shape[1] for w in nets[s].weights)
+                    for s in present)
+
+        gathered = aev[jnp.asarray(grouping.order)]
+        blocks, masks = [], []
+        start = 0
+        for c in counts:
+            blk = jax.lax.slice_in_dim(gathered, start, start + c, axis=0)
+            blocks.append(jnp.pad(blk, ((0, mb - c), (0, 0))))
+            masks.append((jnp.arange(mb) < c).astype(aev.dtype))
+            start += c
+        x_mb = jnp.stack(blocks)               # [T, mb, F]
+        mask_mb = jnp.stack(masks)             # [T, mb]
+
+        def shard_fn(params_r, x_all, mask_all):
+            idx = jax.lax.axis_index(axis)
+            nets_r = params_r.ensemble.networks
+
+            def make_branch(layer, sp):
+                net = nets_r[sp]
+                w, b = net.weights[layer], net.biases[layer]
+                o, i = w.shape[1], w.shape[2]
+
+                def branch(x_in, buf):
+                    if layer == 0:
+                        w0 = w.transpose(2, 0, 1).reshape(i, m * o)
+                        h = jnp.dot(x_in, w0,
+                                    preferred_element_type=jnp.float32)
+                        h = jnp.moveaxis(h.reshape(mb, m, o), 0, 1)
+                    else:
+                        h = jax.lax.dot_general(
+                            buf[:, :, :i], w, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                    h = h + b[:, None, :]
+                    if layer < num_layers - 1:
+                        h = celu(h)
+                    out = jnp.zeros((m, mb, h_max), h.dtype)
+                    return jax.lax.dynamic_update_slice(out, h, (0, 0, 0))
+
+                return branch
+
+            branches = [make_branch(layer, sp)
+                        for layer in range(stages) for sp in present]
+
+            def tick(carry, t):
+                buf, acc = carry
+                mb_id = t - idx          # microbatch this stage works on
+                mb_c = jnp.clip(mb_id, 0, num_mb - 1)
+                x_in = x_all[mb_c]
+                branch_id = idx * num_mb + mb_c
+                newbuf = jax.lax.switch(branch_id, branches, x_in, buf)
+                active = (mb_id >= 0) & (mb_id < num_mb)
+                newbuf = jnp.where(active, newbuf, jnp.zeros_like(newbuf))
+                e_mb = jnp.sum(jnp.mean(newbuf[:, :, 0], axis=0)
+                               * mask_all[mb_c])
+                acc = acc + jnp.where(active & (idx == stages - 1), e_mb, 0.0)
+                nxt = jax.lax.ppermute(newbuf, axis,
+                                       [(i, (i + 1) % stages)
+                                        for i in range(stages)])
+                return (nxt, acc), None
+
+            buf0 = jax.lax.pvary(jnp.zeros((m, mb, h_max), x_all.dtype),
+                                 (axis,))
+            acc0 = jax.lax.pvary(jnp.zeros((), x_all.dtype), (axis,))
+            (_, acc), _ = jax.lax.scan(tick, (buf0, acc0),
+                                       jnp.arange(num_mb + stages - 1))
+            return jax.lax.psum(acc, axis)
+
+        return shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),
+                         out_specs=P())(params, x_mb, mask_mb)
 
     return fn
 

@@ -140,3 +140,45 @@ def test_pipeline_parallel_mlp():
     for s in range(4):
         ref = np.maximum(ref @ np.asarray(stage_w[s]) + np.asarray(stage_b[s]), 0)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_ani_ensemble():
+    """TRUE PP over the real ANI CELU ensemble: 3 layer-stages on 'mp',
+    species-homogeneous microbatches; equals the replicated ensemble."""
+    from nnpops_tpu.parallel.sharding import pipeline_ani_ensemble_energy
+    from nnpops_tpu.ops.batched_nn import ensemble_energy
+    model = ANIModel.from_atomic_numbers(Z, BASIS, elements=(1, 8, 7))
+    params = init_ani_params(jax.random.PRNGKey(1), BASIS,
+                             layer_dims=((16, 8), (12, 8), (16, 4)),
+                             num_models=4)
+    mesh = make_mesh(6, model_parallel=3)   # 3 pipeline stages == depth
+    rng = np.random.RandomState(5)
+    aev = jnp.asarray(rng.randn(len(Z), BASIS.aev_length).astype(np.float32))
+    fn = pipeline_ani_ensemble_energy(model, mesh, axis='mp')
+    with jax.sharding.set_mesh(mesh):
+        e_pp = float(jax.jit(fn)(params, aev))
+    e_ref = float(ensemble_energy(params.ensemble, aev, model.grouping))
+    np.testing.assert_allclose(e_pp, e_ref, rtol=1e-5)
+
+
+def test_tensor_parallel_model_sharded_tail():
+    """TP with axis_size | num_models: every layer sharded (layer 0 over the
+    AEV axis, layers 1+ over the model axis); equals the replicated path."""
+    from nnpops_tpu.parallel.sharding import tp_ensemble_energy
+    from nnpops_tpu.ops.batched_nn import ensemble_energy
+    basis32 = ANIBasis.from_grids(2, 4.6, 3.1, EtaR=[16.0],
+                                  ShfR=[1.0, 2.0, 3.0, 4.0], EtaA=[8.0],
+                                  Zeta=[8.0], ShfA=[1.0, 2.0],
+                                  ShfZ=[0.5, 1.0, 1.5, 2.0])
+    model = ANIModel.from_atomic_numbers([8, 1, 1, 8, 1, 1, 8, 1],
+                                         basis32, elements=(1, 8))
+    params = init_ani_params(jax.random.PRNGKey(2), basis32,
+                             layer_dims=((16, 8), (16, 8)), num_models=8)
+    mesh = make_mesh(4, model_parallel=4)   # 4-way TP; 8 models % 4 == 0
+    rng = np.random.RandomState(6)
+    aev = jnp.asarray(rng.randn(8, model.basis.aev_length).astype(np.float32))
+    fn = tp_ensemble_energy(model, mesh, axis='mp')
+    with jax.sharding.set_mesh(mesh):
+        e_tp = float(jax.jit(fn)(params, aev))
+    e_ref = float(ensemble_energy(params.ensemble, aev, model.grouping))
+    np.testing.assert_allclose(e_tp, e_ref, rtol=1e-4)
