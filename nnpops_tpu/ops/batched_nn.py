@@ -163,7 +163,15 @@ def apply_species_net(net: SpeciesNet, x: Array,
     # every deeper matmul (and its VJP) is transpose-free — the per-layer
     # moveaxis of the [n, m, o] layout was pure HBM relayout traffic.
     h = jnp.moveaxis(h.reshape(x.shape[0], m, out0), 0, 1)
-    h = celu(h + net.biases[0][:, None, :])
+    h = h + net.biases[0][:, None, :]
+    # In bf16 mode activations stay bf16 BETWEEN layers (matmuls still
+    # accumulate f32): at production atom counts the ensemble is
+    # activation-traffic bound, not matmul bound, and bf16 halves every
+    # store, load, and saved-residual read in the backward pass. Casting
+    # BEFORE the activation makes celu's saved residual bf16 as well.
+    if bf16:
+        h = h.astype(jnp.bfloat16)
+    h = celu(h)
     num_layers = len(net.weights)
     for layer in range(1, num_layers):
         w, b = net.weights[layer], net.biases[layer]
@@ -175,8 +183,10 @@ def apply_species_net(net: SpeciesNet, x: Array,
                                     preferred_element_type=jnp.float32)
         h = h + b[:, None, :]
         if layer < num_layers - 1:
+            if bf16:
+                h = h.astype(jnp.bfloat16)
             h = celu(h)
-    return h[:, :, 0].T  # [n, models]
+    return h[:, :, 0].astype(jnp.float32).T  # [n, models]
 
 
 class SpeciesGrouping(NamedTuple):
