@@ -80,9 +80,11 @@ def main():
     parser.add_argument('--steps', type=int, default=20,
                         help='force steps per jitted scan call')
     parser.add_argument('--calls', type=int, default=3)
-    parser.add_argument('--impl', default='pallas',
-                        choices=['pallas', 'blocked', 'payload'],
-                        help='AEV implementation (pallas = fused kernel)')
+    parser.add_argument('--impl', default='window',
+                        choices=['window', 'pallas', 'blocked', 'payload'],
+                        help='AEV implementation (window = dense per-cell '
+                             'radial kernel + fused angular kernel; pallas = '
+                             'compacted-lane fused kernels)')
     parser.add_argument('--nn-dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'],
                         help='ensemble matmul/activation dtype. bfloat16 '

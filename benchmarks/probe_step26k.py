@@ -141,14 +141,14 @@ timeit('radial XLA fwd+bwd', radial_grad, pay.rad_deltas)
 def ang_fwd(rd):
     from nnpops_tpu.ops.pallas_aev import angular_aev_pallas
     a = angular_aev_pallas(rd, pay.ang_mask, basis, layout,
-                           rad_width=rd.shape[1])
+                           rad_width=rd.shape[2])
     return rd + 1e-9 * jnp.sum(a)
 
 
 def ang_fwdbwd(rd):
     from nnpops_tpu.ops.pallas_aev import angular_aev_pallas
     g = jax.grad(lambda x: jnp.sum(angular_aev_pallas(
-        x, pay.ang_mask, basis, layout, rad_width=x.shape[1])))(rd)
+        x, pay.ang_mask, basis, layout, rad_width=x.shape[2])))(rd)
     return rd + 1e-9 * g
 
 timeit('pallas angular fwd', ang_fwd, pay.rad_deltas)

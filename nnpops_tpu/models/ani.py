@@ -115,12 +115,27 @@ class ANIModel:
                             skin: float = 0.0) -> 'ANIModel':
         """Return a copy configured for the species-blocked AEV path, with
         per-species capacities planned from this configuration (the blocked
-        analog of native.plan_capacities). ``impl``: 'blocked' (XLA) or
-        'pallas' (fused VMEM kernel for the angular block). ``skin``: Verlet
-        skin the selection will run with (widens both capacity windows —
-        the frozen lists must hold every pair that can enter the cutoff
-        before the next refresh)."""
+        analog of native.plan_capacities). ``impl``: 'blocked' (XLA),
+        'pallas' (fused VMEM kernel for the angular block), or 'window'
+        (dense per-cell window radial kernel + compacted-lane Pallas
+        angular — the fastest production path; needs a periodic cell
+        decomposition and falls back to 'pallas' without one).
+        ``skin``: Verlet skin the selection will run with (widens both
+        capacity windows — the frozen lists must hold every pair that can
+        enter the cutoff before the next refresh)."""
         from ..neighbors.blocked import plan_blocked_layout
+        if impl == 'window':
+            lane_multiple = max(lane_multiple, 8)
+            widths = (np.asarray(box, np.float64) if box is not None
+                      else None)
+            if widths is not None:
+                from ..neighbors.cell_list import _perpendicular_widths
+                nc = (_perpendicular_widths(widths)
+                      // (self.basis.radial_cutoff + skin)).astype(int)
+                if (nc < 3).any():
+                    impl = 'pallas'   # no cell grid: window mode impossible
+            else:
+                impl = 'pallas'
         layout = plan_blocked_layout(
             positions, box, self.species_array,
             self.basis.radial_cutoff + skin,
@@ -179,7 +194,14 @@ class ANIModel:
     def select(self, positions: Array, box: Array, cell_list):
         """Freeze a neighbor selection for sticky (Verlet-skin) stepping —
         the type matches ``aev_impl`` ('payload' -> SlotSelection,
-        'blocked' -> BlockedSelection)."""
+        'blocked'/'pallas' -> BlockedSelection, 'window' ->
+        WindowSelection)."""
+        if self.aev_impl == 'window':
+            from ..neighbors.window import select_window
+            return select_window(cell_list, positions, box,
+                                 self.species_array, self.blocked_layout,
+                                 self.basis.radial_cutoff,
+                                 self.basis.angular_cutoff)
         if self.aev_impl in ('blocked', 'pallas'):
             from ..neighbors.blocked import select_blocked
             return select_blocked(cell_list, positions, box,
@@ -196,7 +218,7 @@ class ANIModel:
         CellList.build_payload), then the gather-free AEV and the grouped
         ensemble run on top. ~10x faster per MD step on TPU than the
         index-based path at water-box scale."""
-        if self.aev_impl in ('blocked', 'pallas'):
+        if self.aev_impl in ('blocked', 'pallas', 'window'):
             return self.energy_from_selection(
                 params, positions, box, cell_list,
                 self.select(positions, box, cell_list))
@@ -232,6 +254,13 @@ class ANIModel:
         'max_cell_occupancy' (vs ``cell_list.cell_capacity``) and
         'max_angular' (vs ``angular_capacity``). On the blocked path the
         neighbor/angular entries are per-present-species arrays instead."""
+        if self.aev_impl == 'window':
+            wsel = self.select(positions, box, cell_list)
+            # Window radial is capacity-free; the remaining capacities are
+            # the cell occupancy and the angular lane caps.
+            return {'max_neighbors': wsel.ang.max_rad,
+                    'max_cell_occupancy': wsel.ang.max_cell_occupancy,
+                    'max_angular': wsel.ang.max_ang}
         if self.aev_impl in ('blocked', 'pallas'):
             bsel = self.select(positions, box, cell_list)
             return {'max_neighbors': bsel.max_rad,
@@ -254,9 +283,12 @@ class ANIModel:
         """Host-side assertion that no static capacity overflowed (call
         outside jit, between scanned segments)."""
         raw = self.overflow_counts(positions, box, cell_list, sel)
-        if self.aev_impl in ('blocked', 'pallas'):
+        if self.aev_impl in ('blocked', 'pallas', 'window'):
             counts = {k: np.asarray(v) for k, v in raw.items()}
-            caps = {'max_neighbors': np.asarray(self.blocked_layout.rad_caps),
+            rad_caps = (self.blocked_layout.ang_caps
+                        if self.aev_impl == 'window'
+                        else self.blocked_layout.rad_caps)
+            caps = {'max_neighbors': np.asarray(rad_caps),
                     'max_cell_occupancy': cell_list.cell_capacity,
                     'max_angular': np.asarray(self.blocked_layout.ang_caps)}
             bad = {k: (counts[k].tolist(), np.asarray(caps[k]).tolist())
@@ -281,6 +313,21 @@ class ANIModel:
         (md.run_md_sticky). ``sel`` may be a SlotSelection (aev_impl
         'payload') or a BlockedSelection (aev_impl 'blocked')."""
         from ..neighbors.blocked import BlockedSelection
+        from ..neighbors.window import WindowSelection
+        if isinstance(sel, WindowSelection):
+            from ..neighbors.window import window_features
+            from ..ops.batched_nn import ensemble_energy_grouped_rows
+            g = self.grouping
+            io_g = sel.ang.inv_order[jnp.asarray(g.order)]
+            feat = window_features(cell_list, positions, box, sel,
+                                   self.basis, self.blocked_layout,
+                                   row_order=io_g)
+            e_nn = ensemble_energy_grouped_rows(params.ensemble, feat,
+                                                g.counts,
+                                                self.nn_compute_dtype)
+            sae = jnp.sum(params.self_energies[
+                jnp.asarray(self.species_array)])
+            return e_nn + sae
         if isinstance(sel, BlockedSelection):
             from ..neighbors.blocked import payload_from_blocked
             from ..ops.aev_blocked import compute_aev_blocked

@@ -220,11 +220,18 @@ class BlockedPayload(NamedTuple):
 
     All arrays in ORIGINAL atom order; padding lanes hold exact zeros.
     Lane ranges follow the BlockedLayout (species of each lane is static).
+
+    Deltas are stored as COORDINATE PLANES ``[3, N, K]`` (x/y/z-major), not
+    ``[N, K, 3]``: TPU tiling pads the two minor dims to (8, 128), so a
+    trailing length-3 axis pays ~42x memory traffic on every pass that
+    touches it (measured — NOTES_PERF.md "THE layout discovery"). With the
+    plane layout every elementwise pass, every kernel input read, and the
+    mirror-adjoint path run on dense ``[N, K]`` tiles.
     """
-    rad_deltas: Array      # [N, rad_total, 3]
+    rad_deltas: Array      # [3, N, rad_total] coordinate planes
     rad_r: Array           # [N, rad_total]
     rad_mask: Array        # [N, rad_total]
-    ang_deltas: Optional[Array]    # [N, ang_total, 3]; None in rad-only mode
+    ang_deltas: Optional[Array]    # [3, N, ang_total]; None in rad-only mode
     ang_r: Optional[Array]         # [N, ang_total]
     ang_mask: Array        # [N, ang_total]
     max_rad: Array
@@ -497,29 +504,34 @@ def _select_blocked_dense(cell_list: CellList, positions, box, species,
 
 @jax.custom_vjp
 def _gather_slots_mirror(slots, idx, mirror, mask, slot_of_sorted):
-    """``slots[idx]`` whose VJP runs as a frozen GATHER via the mirror list
-    instead of an XLA scatter-add (measured ~5x slower at 26k atoms):
-    the cotangents destined for atom i's slot are exactly the cotangents of
-    the reverse directed entries of i's own lanes."""
+    """``slots[idx]`` as coordinate planes ``[3, n, kb]``, whose VJP runs as
+    a frozen GATHER via the mirror list instead of an XLA scatter-add
+    (measured ~5x slower at 26k atoms): the cotangents destined for atom i's
+    slot are exactly the cotangents of the reverse directed entries of i's
+    own lanes. The single 12-byte-row gather (row count is what costs —
+    ~3-5 ns/row regardless of width) is transposed straight into dense
+    ``[3, n, kb]`` planes so no downstream pass touches a lane-padded
+    ``[n, kb, 3]`` layout."""
     n, kb = idx.shape
-    return slots[idx.reshape(-1)].reshape(n, kb, 3)
+    return slots[idx.reshape(-1)].reshape(n, kb, 3).transpose(2, 0, 1)
 
 
 def _gather_slots_mirror_fwd(slots, idx, mirror, mask, slot_of_sorted):
-    n, kb = idx.shape
-    out = slots[idx.reshape(-1)].reshape(n, kb, 3)
+    out = _gather_slots_mirror(slots, idx, mirror, mask, slot_of_sorted)
     return out, (mirror, mask, slot_of_sorted, slots.shape[0], idx.shape)
 
 
 def _gather_slots_mirror_bwd(res, g):
+    # g: [3, n, kb] planes.
     mirror, mask, slot_of_sorted, n_slots, (n, kb) = res
     g_flat = jnp.concatenate(
-        [g.reshape(n * kb, 3), jnp.zeros((1, 3), g.dtype)], axis=0)
-    gm = g_flat[mirror.reshape(-1)].reshape(n, kb, 3)
-    gm = jnp.where(mask[..., None], gm, 0.0)
-    per_atom = jnp.sum(gm, axis=1)
+        [g.transpose(1, 2, 0).reshape(n * kb, 3),
+         jnp.zeros((1, 3), g.dtype)], axis=0)
+    gm = g_flat[mirror.reshape(-1)].reshape(n, kb, 3).transpose(2, 0, 1)
+    gm = jnp.where(mask[None], gm, 0.0)
+    per_atom = jnp.sum(gm, axis=2)                       # [3, n]
     d_slots = jnp.zeros((n_slots, 3), g.dtype)
-    d_slots = d_slots.at[slot_of_sorted].set(per_atom, mode='drop')
+    d_slots = d_slots.at[slot_of_sorted].set(per_atom.T, mode='drop')
     return (d_slots, None, None, None, None)
 
 
@@ -570,16 +582,32 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
         gathered = _gather_slots_mirror(slots, idx, sel.mirror, sel.rad_mask,
                                         sel.slot_of_sorted)
     else:
-        gathered = slots[idx.reshape(-1)].reshape(n, idx.shape[1], 3)
+        gathered = slots[idx.reshape(-1)].reshape(
+            n, idx.shape[1], 3).transpose(2, 0, 1)
 
-    deltas = minimum_image(gathered - pos_sorted[:, None, :], box)
-    deltas = jnp.where(sel.rad_mask[..., None], deltas, 0.0)
+    # Plane-wise minimum image (same sequential row reduction as
+    # select_blocked; assumes a reduced triclinic box, enforced by
+    # validate_box at the API boundaries).
+    dx = gathered[0] - pos_sorted[:, 0:1]
+    dy = gathered[1] - pos_sorted[:, 1:2]
+    dz = gathered[2] - pos_sorted[:, 2:3]
+    if box is not None:
+        s3 = jnp.round(dz / box[2, 2])
+        dx = dx - s3 * box[2, 0]
+        dy = dy - s3 * box[2, 1]
+        dz = dz - s3 * box[2, 2]
+        s2 = jnp.round(dy / box[1, 1])
+        dx = dx - s2 * box[1, 0]
+        dy = dy - s2 * box[1, 1]
+        dx = dx - jnp.round(dx / box[0, 0]) * box[0, 0]
+    deltas = jnp.stack([dx, dy, dz])                     # [3, n, K]
+    deltas = jnp.where(sel.rad_mask[None], deltas, 0.0)
     r = jnp.sqrt(jnp.where(sel.rad_mask,
-                           jnp.sum(deltas * deltas, -1), 1.0))
+                           dx * dx + dy * dy + dz * dz, 1.0))
     r = jnp.where(sel.rad_mask, r, 0.0)
 
     io = sel.inv_order if row_order is None else row_order
-    rad_deltas, rad_r = deltas[io], r[io]
+    rad_deltas, rad_r = deltas[:, io], r[io]
     ang_mask = sel.ang_mask[io]
     if rad_only:
         ang_deltas = ang_r = None
@@ -588,12 +616,12 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
         if layout is None:
             raise ValueError('layout required unless rad_only=True')
         ang_deltas = jnp.concatenate(
-            [rad_deltas[:, ro:ro + ac]
-             for ro, ac in zip(layout.rad_offsets, layout.ang_caps)], axis=1)
+            [rad_deltas[:, :, ro:ro + ac]
+             for ro, ac in zip(layout.rad_offsets, layout.ang_caps)], axis=2)
         ang_r = jnp.concatenate(
             [rad_r[:, ro:ro + ac]
              for ro, ac in zip(layout.rad_offsets, layout.ang_caps)], axis=1)
-        ang_deltas = jnp.where(ang_mask[..., None], ang_deltas, 0.0)
+        ang_deltas = jnp.where(ang_mask[None], ang_deltas, 0.0)
         ang_r = jnp.where(ang_mask, ang_r, 0.0)
         ang_in_rad = None
     return BlockedPayload(

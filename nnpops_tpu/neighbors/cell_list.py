@@ -139,6 +139,10 @@ class CellList:
             # silent (max_cell_occupancy).
             mean_occ = density_estimate * cell_volume
             cell_capacity = max(8, int(np.ceil(mean_occ + 4.5 * np.sqrt(mean_occ) + 2)))
+            # Sublane-align the slot blocks (the window-radial kernel tiles
+            # [capacity, 27*capacity] VMEM arrays; 8-multiples keep every
+            # block aligned at a few extra reported-not-silent pad slots).
+            cell_capacity = -(-cell_capacity // 8) * 8
         return cls(cutoff=float(cutoff), ncells=tuple(int(x) for x in ncells),
                    capacity=int(capacity), cell_capacity=int(cell_capacity))
 

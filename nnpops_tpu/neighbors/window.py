@@ -1,0 +1,273 @@
+"""Window-mode neighbor pipeline: dense per-cell radial + compacted angular.
+
+The third-generation AEV data path (after round-1 one-hot payloads and the
+species-blocked lanes of ``neighbors.blocked``):
+
+* the RADIAL AEV needs no per-atom neighbor list at all — it is computed by
+  the fused per-cell window kernel (``ops.pallas_window``) over the dense
+  27-cell candidate window, built with coarse cell-granularity copies.
+  This kills the largest single cost of the blocked path at production
+  sizes: the latency-bound [N, K_rad]-row payload gather and its
+  mirror-list adjoint (~23 ms of a 37 ms step at 26k atoms);
+* the ANGULAR AEV keeps compacted per-atom lanes (its triple enumeration
+  needs them), but the per-step gather now fetches ONLY the angular window
+  (~3x fewer rows than the radial list, neighbor counts scale with r^3).
+  The compaction machinery is ``blocked._compact_blocked`` run with the
+  angular validity for both windows, so the angular list, its mirror, and
+  the payload/Pallas kernels are exactly the battle-tested blocked-path
+  components.
+
+Frozen-wrap contract: positions are wrapped into the primary box with the
+box-multiple recorded AT REFRESH TIME (``wrap_shift``), so a slot's
+position stays continuous near its frozen cell even if the atom drifts
+across the periodic boundary between refreshes; candidate windows add the
+frozen per-(cell, stencil-offset) image shifts instead of per-pair
+minimum-image rounding. Validity is the standard Verlet-skin argument:
+build the cell list with ``cutoff = radial_cutoff + skin`` and refresh the
+selection before any atom moves more than skin/2.
+
+Reference parity: the radial/angular math matches
+CpuANISymmetryFunctions.cpp:99-109/:141-147/:183-190; the soft-failure
+capacity contract follows getNeighborPairs.py:77-83 (cell occupancy and
+angular lane counts are the only capacities left — the window radial is
+capacity-free).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas_window import FAR, window_radial_aev
+from .blocked import (BlockedLayout, BlockedSelection, _compact_blocked,
+                      payload_from_blocked)
+from .cell_list import CellList
+
+Array = jnp.ndarray
+
+
+class WindowSelection(NamedTuple):
+    """Frozen window-mode selection (refresh-scoped, like BlockedSelection).
+
+    ``ang``: a BlockedSelection whose "radial" lanes ARE the angular window
+    (``rad_caps == ang_caps``), including the mirror list for the angular
+    payload gather's adjoint.
+    """
+    ang: BlockedSelection
+    win_sp: Array          # [ncells, kk] int32 present-species index
+    shift_planes: Array    # [3, ncells, kk] periodic image shifts
+    wrap_shift: Array      # [N, 3] frozen box wrap per atom
+
+
+@functools.lru_cache(maxsize=16)
+def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
+    """Static per-cell-grid tables: wrap factors [ncells, 27, 3] and the
+    reverse flat index for the window adjoint [ncells, 27]."""
+    nx, ny, nz = ncells3
+    cx, cy, cz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing='ij')
+    coords = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], -1)
+    offs = np.array(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                indexing='ij')).reshape(3, 27).T
+    tot = coords[:, None, :] + offs[None, :, :]                 # [cells,27,3]
+    n3 = np.array([nx, ny, nz])
+    f27 = np.floor_divide(tot, n3).astype(np.float32)
+    # Stencil (same enumeration as CellList._stencil).
+    wrapped = np.mod(tot, n3)
+    stencil = ((wrapped[:, :, 0] * ny + wrapped[:, :, 1]) * nz
+               + wrapped[:, :, 2]).astype(np.int32)
+    # Window-adjoint source: cell b receives, as its i-th contribution, the
+    # cotangent that cell a = b - off_i produced at window entry i; offsets
+    # enumerate symmetrically so a = stencil[b, 26 - i]. Flattened into
+    # [ncells*27] row ids of the [ncells, 27, c]-shaped cotangent.
+    ii = np.arange(27)
+    rev_flat = (stencil[:, ::-1] * 27 + ii[None, :]).astype(np.int32)
+    return f27, stencil, rev_flat
+
+
+@functools.lru_cache(maxsize=16)
+def _make_stencil_window(ncells3: Tuple[int, int, int], c: int):
+    """planes [3, ncells, c] -> window [3, ncells, 27*c] with a
+    gather-based custom adjoint (XLA's scatter-add transpose of the stencil
+    gather is much slower on TPU)."""
+    _, stencil_np, rev_flat_np = _window_tables(ncells3)
+    ncells = stencil_np.shape[0]
+    kk = 27 * c
+
+    @jax.custom_vjp
+    def stencil_window(planes):
+        stencil = jnp.asarray(stencil_np)
+        return planes[:, stencil].reshape(3, ncells, kk)
+
+    def _fwd(planes):
+        return stencil_window(planes), None
+
+    def _bwd(_, g):
+        rev_flat = jnp.asarray(rev_flat_np)
+        gr = g.reshape(3, ncells * 27, c)
+        dA = jnp.sum(gr[:, rev_flat], axis=2)              # [3, ncells, c]
+        return (dA,)
+
+    stencil_window.defvjp(_fwd, _bwd)
+    return stencil_window
+
+
+def ang_as_rad_layout(layout: BlockedLayout) -> BlockedLayout:
+    """The angular window expressed as a BlockedLayout whose 'radial' lanes
+    are the angular lanes (window mode stores no radial lanes at all)."""
+    return BlockedLayout(num_species=layout.num_species,
+                         present=layout.present,
+                         rad_caps=layout.ang_caps,
+                         ang_caps=layout.ang_caps)
+
+
+def select_window(cell_list: CellList, positions: Array, box: Array,
+                  species: np.ndarray, layout: BlockedLayout,
+                  radial_cutoff: float, angular_cutoff: float,
+                  ) -> WindowSelection:
+    """Freeze a window-mode selection.
+
+    ``layout``: only ``ang_caps``/``present`` are consumed (the angular
+    compaction); radial lanes do not exist in this mode.
+    """
+    if not cell_list.use_cells:
+        raise ValueError('window mode requires a cell decomposition '
+                         '(>= 3 cells per axis); use aev_impl="pallas" for '
+                         'small or non-periodic systems')
+    c = cell_list.cell_capacity
+    if c % 8:
+        raise ValueError(f'window mode needs cell_capacity % 8 == 0 '
+                         f'(got {c}); CellList.create rounds automatically')
+    positions = jax.lax.stop_gradient(positions)
+    box = jax.lax.stop_gradient(box)
+    n = positions.shape[0]
+    nx, ny, nz = cell_list.ncells
+    ncells = cell_list.num_cells
+    ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+    inv = jnp.linalg.inv(box)
+    frac = positions @ inv
+    wrap_f = jnp.floor(frac)
+    wrap_shift = wrap_f @ box
+    frac = frac - wrap_f
+    cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
+    cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
+
+    order = jnp.argsort(cell_id, stable=True)
+    sorted_ids = cell_id[order]
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones((1,), bool),
+                               sorted_ids[1:] != sorted_ids[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(new_seg, idx_n, 0))
+    rank_sorted = idx_n - seg_start
+    occupancy = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell_id,
+                                    num_segments=ncells)
+    max_occ = jnp.max(occupancy)
+
+    cc = ncells * c
+    kk = 27 * c
+    slot_of_sorted = jnp.where(rank_sorted < c,
+                               sorted_ids * c + rank_sorted, cc + 1)
+    p_w = positions - wrap_shift
+    pos_sorted = p_w[order]
+    pos_slots = jnp.full((cc, 3), FAR, positions.dtype)
+    pos_slots = pos_slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
+
+    npres = len(layout.present)
+    sp_table = np.full(layout.num_species + 1, layout.num_species, np.int32)
+    sp_raw_sorted = jnp.asarray(np.asarray(species, np.int32))[order]
+    sp_slots_raw = jnp.full((cc,), layout.num_species, jnp.int32)
+    sp_slots_raw = sp_slots_raw.at[slot_of_sorted].set(sp_raw_sorted,
+                                                       mode='drop')
+    pres_table = np.full(layout.num_species + 1, npres, np.int32)
+    for i, s in enumerate(layout.present):
+        pres_table[s] = i
+
+    f27_np, stencil_np, _ = _window_tables((nx, ny, nz))
+    stencil = jnp.asarray(stencil_np)
+    sp_raw_win = sp_slots_raw.reshape(ncells, c)[stencil].reshape(ncells, kk)
+    win_sp = jnp.asarray(pres_table)[sp_raw_win]
+    shift27 = jnp.asarray(f27_np) @ box                     # [ncells, 27, 3]
+    shift_planes = jnp.repeat(shift27.transpose(2, 0, 1), c, axis=2)
+
+    # Angular candidate phase (per sorted atom, for the compaction).
+    cand_cells = pos_slots.reshape(ncells, c, 3)[stencil]
+    cand_cells = (cand_cells.reshape(ncells, kk, 3).transpose(0, 2, 1)
+                  + shift_planes.transpose(1, 0, 2))        # [ncells, 3, kk]
+    cand_pos = cand_cells[sorted_ids]                       # [N, 3, kk]
+    dx = cand_pos[:, 0, :] - pos_sorted[:, 0:1]
+    dy = cand_pos[:, 1, :] - pos_sorted[:, 1:2]
+    dz = cand_pos[:, 2, :] - pos_sorted[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    cand_slot = (stencil[:, :, None] * c
+                 + jnp.arange(c, dtype=jnp.int32)).reshape(ncells, kk)
+    cand_slot_atom = cand_slot[sorted_ids]
+    not_self = cand_slot_atom != slot_of_sorted[:, None]
+    skin = cell_list.cutoff - radial_cutoff
+    ang_window = angular_cutoff + max(skin, 0.0)
+    valid_ang = (d2 < ang_window * ang_window) & not_self
+    cand_sp_raw = sp_raw_win[sorted_ids]
+
+    a_layout = ang_as_rad_layout(layout)
+    bsel = _compact_blocked(n, cc, a_layout, valid_ang, valid_ang,
+                            cand_sp_raw, cand_slot_atom, order,
+                            slot_of_sorted, idx_n, max_occ)
+    return WindowSelection(ang=bsel, win_sp=win_sp,
+                           shift_planes=shift_planes, wrap_shift=wrap_shift)
+
+
+def window_features(cell_list: CellList, positions: Array, box: Array,
+                    wsel: WindowSelection, basis, layout: BlockedLayout,
+                    row_order: Optional[Array] = None,
+                    interpret: Optional[bool] = None) -> Array:
+    """Full AEV [N, aev_length] (reference layout: radial [S*R] ‖ angular
+    [P*A], SymmetryFunctions.py:120-122) for window mode, differentiable in
+    ``positions``. ``row_order`` as in ``payload_from_blocked``."""
+    from ..ops.pallas_aev import angular_aev_pallas
+    sel = wsel.ang
+    n = positions.shape[0]
+    ncells = cell_list.num_cells
+    c = cell_list.cell_capacity
+    cc = ncells * c
+    a_layout = ang_as_rad_layout(layout)
+
+    # --- Angular: compacted-lane payload (mirror-adjoint gather) + the
+    # fused Pallas angular kernel, all shared with the blocked path.
+    pay = payload_from_blocked(cell_list, positions, box, sel,
+                               rad_only=True, row_order=row_order)
+    angular = angular_aev_pallas(pay.rad_deltas, pay.ang_mask, basis,
+                                 a_layout, interpret=interpret,
+                                 rad_width=pay.rad_deltas.shape[2])
+
+    # --- Radial: dense per-cell window kernel, capacity-free.
+    p_w = positions - wsel.wrap_shift
+    pos_sorted = p_w[sel.order]
+    slots = jnp.full((cc, 3), FAR, positions.dtype)
+    slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
+    planes = slots.T.reshape(3, ncells, c)
+    win = _make_stencil_window(cell_list.ncells, c)(planes)
+    candx = win[0] + wsel.shift_planes[0]
+    candy = win[1] + wsel.shift_planes[1]
+    candz = win[2] + wsel.shift_planes[2]
+    centers = slots.reshape(ncells, c, 3)
+    npres = len(layout.present)
+    rad_slots = window_radial_aev(
+        candx, candy, candz, wsel.win_sp, centers,
+        basis.radial_cutoff, basis.radial_eta, basis.radial_rs, npres,
+        basis.torchani, interpret=interpret)
+    num_r = basis.num_radial
+    rad_flat = rad_slots.reshape(cc, npres * num_r)
+    io = sel.inv_order if row_order is None else row_order
+    row_slots = jnp.minimum(sel.slot_of_sorted[io], cc - 1)
+    radial_rows = rad_flat[row_slots]                       # [N, P*R]
+    pieces = []
+    for s in range(basis.num_species):
+        if s in layout.present:
+            i = layout.present.index(s)
+            pieces.append(radial_rows[:, i * num_r:(i + 1) * num_r])
+        else:
+            pieces.append(jnp.zeros((n, num_r), radial_rows.dtype))
+    radial_full = jnp.concatenate(pieces, axis=1)           # [N, S*R]
+    return jnp.concatenate([radial_full, angular], axis=1)

@@ -98,30 +98,30 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
     n = payload.rad_r.shape[0]
     if chunk_size is not None and n > chunk_size and angular_impl == 'xla':
         pad = (-n) % chunk_size
+        nb = (n + pad) // chunk_size
 
         def body(chunk):
             return compute_aev_blocked(chunk, basis, layout)
 
-        def padded(x):
-            if pad == 0:
-                return x
-            return jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        def split_rows(x):       # [N, ...] -> [nb, chunk, ...]
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            return x.reshape((nb, chunk_size) + x.shape[1:])
 
-        chunked = BlockedPayload(
-            *[jax.tree_util.tree_map(
-                lambda x: padded(x).reshape((-1, chunk_size) + x.shape[1:]),
-                getattr(payload, f)) for f in
-              ('rad_deltas', 'rad_r', 'rad_mask',
-               'ang_deltas', 'ang_r', 'ang_mask')],
-            max_rad=payload.max_rad, max_ang=payload.max_ang,
-            max_cell_occupancy=payload.max_cell_occupancy)
+        def split_planes(x):     # [3, N, K] -> [nb, 3, chunk, K]
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((3, pad) + x.shape[2:], x.dtype)], axis=1)
+            return x.reshape((3, nb, chunk_size) + x.shape[2:]).transpose(
+                1, 0, 2, 3)
+
+        zeros_nb = jnp.zeros((nb,), jnp.int32)
         out = jax.lax.map(body, BlockedPayload(
-            chunked.rad_deltas, chunked.rad_r, chunked.rad_mask,
-            chunked.ang_deltas, chunked.ang_r, chunked.ang_mask,
-            jnp.zeros((chunked.rad_deltas.shape[0],), jnp.int32),
-            jnp.zeros((chunked.rad_deltas.shape[0],), jnp.int32),
-            jnp.zeros((chunked.rad_deltas.shape[0],), jnp.int32)))
+            split_planes(payload.rad_deltas), split_rows(payload.rad_r),
+            split_rows(payload.rad_mask), split_planes(payload.ang_deltas),
+            split_rows(payload.ang_r), split_rows(payload.ang_mask),
+            zeros_nb, zeros_nb, zeros_nb))
         radial = out.radial.reshape(-1, out.radial.shape[-1])[:n]
         angular = out.angular.reshape(-1, out.angular.shape[-1])[:n]
         return AEV(radial, angular)
@@ -157,7 +157,7 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
             # radial payload (angular-first lane order).
             angular = angular_aev_pallas(
                 payload.rad_deltas, payload.ang_mask, basis, layout,
-                rad_width=payload.rad_deltas.shape[1])
+                rad_width=payload.rad_deltas.shape[2])
         else:
             angular = angular_aev_pallas(payload.ang_deltas,
                                          payload.ang_mask, basis, layout)
@@ -168,26 +168,27 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
     kat = layout.ang_total
     t = len(tables.jj)
     ang_mask = payload.ang_mask & (payload.ang_r < ra)
-    ang_delta = jnp.where(ang_mask[..., None], payload.ang_deltas, 0.0)
+    ang_delta = jnp.where(ang_mask[None], payload.ang_deltas, 0.0)
     r_a = jnp.where(ang_mask, payload.ang_r, 1.0)
 
     sel_j = _selection_matrix(tables.jj, kat, dtype)             # [T, Kat]
     sel_k = _selection_matrix(tables.kk, kat, dtype)
-    d1 = jnp.einsum('tk,nkx->ntx', sel_j, ang_delta,
-                        precision=jax.lax.Precision.HIGH)
-    d2 = jnp.einsum('tk,nkx->ntx', sel_k, ang_delta,
-                        precision=jax.lax.Precision.HIGH)
-    r1 = jnp.einsum('tk,nk->nt', sel_j, r_a,
-                        precision=jax.lax.Precision.HIGH)
-    r2_ = jnp.einsum('tk,nk->nt', sel_k, r_a,
-                        precision=jax.lax.Precision.HIGH)
-    v1 = jnp.einsum('tk,nk->nt', sel_j, ang_mask.astype(dtype),
-                        precision=jax.lax.Precision.HIGH)
-    v2 = jnp.einsum('tk,nk->nt', sel_k, ang_mask.astype(dtype),
-                        precision=jax.lax.Precision.HIGH)
+
+    def expand(plane, sel):
+        return jnp.einsum('tk,nk->nt', sel, plane,
+                          precision=jax.lax.Precision.HIGH)
+
+    # Plane-wise triple expansion: six dense [N, T] arrays instead of two
+    # [N, T, 3] tensors (whose trailing length-3 axis lane-pads 42x).
+    d1x, d1y, d1z = (expand(ang_delta[c], sel_j) for c in range(3))
+    d2x, d2y, d2z = (expand(ang_delta[c], sel_k) for c in range(3))
+    r1 = expand(r_a, sel_j)
+    r2_ = expand(r_a, sel_k)
+    v1 = expand(ang_mask.astype(dtype), sel_j)
+    v2 = expand(ang_mask.astype(dtype), sel_k)
     tri_valid = (v1 * v2) > 0.5
 
-    dot = jnp.sum(d1 * d2, axis=-1)
+    dot = d1x * d2x + d1y * d2y + d1z * d2z
     dot = jnp.where(tri_valid, dot, 0.0)
     r1r2 = r1 * r2_
     if basis.torchani:
@@ -195,8 +196,10 @@ def compute_aev_blocked(payload: BlockedPayload, basis: ANIBasis,
         sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
     else:
         cos_t = dot / r1r2
-        cross = jnp.cross(d1, d2)
-        cross_sq = jnp.sum(cross * cross, axis=-1)
+        cx = d1y * d2z - d1z * d2y
+        cy = d1z * d2x - d1x * d2z
+        cz = d1x * d2y - d1y * d2x
+        cross_sq = cx * cx + cy * cy + cz * cz
         cross_sq = jnp.where(tri_valid, cross_sq, 1.0)
         sin_t = jnp.sqrt(jnp.maximum(cross_sq,
                                      jnp.asarray(1e-12, dtype))) / r1r2

@@ -70,14 +70,16 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         rad_width: Optional[int] = None):
     """Build the fused angular-AEV function for one (basis, layout).
 
-    Returns ``fn(ang_deltas [N, Kat, 3], ang_mask [N, Kat] bool) ->
+    Returns ``fn(ang_deltas [3, N, Kat], ang_mask [N, Kat] bool) ->
     [N, n_seg * A]`` where segment s holds the (unscaled) angular sums of
     ``triple_tables(layout).pair_ids[s]``; the caller applies the 2^(1-zeta)
     scale and places segments into the full [P, A] layout (autodiff chains
     through both). Differentiable in ``ang_deltas`` via a custom VJP kernel.
+    Deltas are coordinate planes (x/y/z-major, BlockedPayload layout) so the
+    kernel's input reads are dense [N, K] tiles.
 
     ``rad_width``: when set, the function signature becomes
-    ``fn(rad_deltas [N, rad_width, 3], ang_mask [N, Kat])`` and the angular
+    ``fn(rad_deltas [3, N, rad_width], ang_mask [N, Kat])`` and the angular
     lanes are STATIC SLICES of the radial payload (the blocked selection
     orders every species block angular-first, so species block i's angular
     lanes are radial lanes [rad_off_i, rad_off_i + ang_caps_i)) — the
@@ -413,9 +415,11 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
           jnp.asarray(segmask_np))
 
     def split_pad(deltas, aux, pad):
-        dx = deltas[..., 0]
-        dy = deltas[..., 1]
-        dz = deltas[..., 2]
+        # deltas: [3, N, lane_w] coordinate planes — the leading-axis slices
+        # are full dense tiles (no lane-padded [N, K, 3] reads anywhere).
+        dx = deltas[0]
+        dy = deltas[1]
+        dz = deltas[2]
         aux = aux.astype(jnp.float32)
         if pad:
             z = jnp.zeros((pad, lane_w), jnp.float32)
@@ -428,21 +432,21 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         return _fwd(deltas, aux)[0]
 
     def _fwd(deltas, aux):
-        n = deltas.shape[0]
+        n = deltas.shape[1]
         dx, dy, dz, auxp = split_pad(deltas, aux, (-n) % b)
         out = run_fwd(dx, dy, dz, auxp)[:n]
         return out, (deltas, aux)
 
     def _bwd(res, g):
         deltas, aux = res
-        n = deltas.shape[0]
+        n = deltas.shape[1]
         pad = (-n) % bb
         dx, dy, dz, auxp = split_pad(deltas, aux, pad)
         gg = g
         if pad:
             gg = jnp.concatenate([g, jnp.zeros((pad, out_w), jnp.float32)])
         ddx, ddy, ddz = run_bwd(dx, dy, dz, auxp, gg)
-        dd = jnp.stack([ddx[:n], ddy[:n], ddz[:n]], axis=-1)
+        dd = jnp.stack([ddx[:n], ddy[:n], ddz[:n]])
         return dd, None
 
     angular.defvjp(lambda d, a: _fwd(d, a), _bwd)

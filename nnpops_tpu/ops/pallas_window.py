@@ -1,0 +1,293 @@
+"""Fused per-cell window radial AEV — a Pallas TPU kernel.
+
+The reference accumulates the radial symmetry functions by looping a
+compacted per-atom neighbor list and atomically scattering per-species
+(CpuANISymmetryFunctions.cpp:141-147, CudaANISymmetryFunctions.cu:198-226).
+Every prior formulation here kept that per-atom neighbor-lane structure,
+which on TPU costs one latency-bound HBM row gather per (atom, lane) —
+~3-5 ns/row regardless of row width, ~10 ms at 26k atoms — plus a
+mirror-list adjoint of the same size.
+
+This kernel removes the per-atom radial list entirely. The radial AEV of
+every atom in a cell is computed from the cell's dense 27-cell candidate
+window (``kk = 27 * cell_capacity`` slots), which is built by COARSE
+cell-granularity block copies (pure bandwidth, no per-row latency):
+
+* grid = one step per cell; candidates [kk] on lanes, the cell's own
+  ``c`` slots as center rows — every pair quantity is a [c, kk] VMEM
+  array, nothing spills to HBM;
+* species masks come from a frozen per-refresh window species map
+  (empty slots carry a sentinel species and a far-away position, so they
+  fail both the species mask and the cutoff test);
+* the backward pass recomputes the pair geometry (the reference's CUDA
+  backprop strategy, CudaANISymmetryFunctions.cu:389-418) and emits
+  per-window candidate cotangents — the scatter back to atoms is again
+  coarse (cell-granularity), never per-row;
+* there is no radial capacity at all: the window provably contains every
+  neighbor within the cutoff while the Verlet-skin contract holds, so
+  the only soft-failure mode left is cell-capacity overflow (observable
+  via ``max_cell_occupancy``, the ``number_found_pairs`` contract of
+  getNeighborPairs.py:77-83).
+
+No MXU involvement and no selection matmuls — pair deltas are formed
+directly on the VPU in f32, so this path has none of the bf16-pass
+precision loss of matmul-based expansions (NOTES_PERF.md).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+# Empty-slot position sentinel: far enough that d2 > cutoff^2 for any real
+# configuration, small enough that squares stay comfortably finite in f32.
+FAR = 1.0e6
+# Stencil entry index of the cell itself in CellList._stencil's (-1,0,1)^3
+# meshgrid enumeration (entry 13 = offset (0,0,0)).
+SELF_STENCIL_INDEX = 13
+
+
+def make_window_radial_kernel(radial_cutoff: float,
+                              radial_eta: Sequence[float],
+                              radial_rs: Sequence[float],
+                              num_present: int,
+                              cell_capacity: int,
+                              torchani: bool,
+                              interpret: Optional[bool] = None):
+    """Build the fused window-radial function for one configuration.
+
+    Returns ``fn(candx, candy, candz, win_sp, centers) -> [ncells, c, P*R]``
+    where
+
+    * ``candx/y/z``: [ncells, kk] candidate coordinate planes (periodic
+      image shifts already applied; empty slots at FAR),
+    * ``win_sp``: [ncells, kk] int32 present-species index per candidate
+      (>= num_present for empty slots) — frozen per refresh,
+    * ``centers``: [ncells, c, 3] the cells' own slot positions,
+    * output column ``p * R + q`` = unnormalized radial function q against
+      present-species p (the caller places present species into the full
+      [S, R] AEV layout).
+
+    Differentiable in (candx, candy, candz, centers) via a custom VJP
+    kernel (recompute strategy).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+    rc = float(radial_cutoff)
+    rs_list = tuple(float(x) for x in radial_rs)
+    n_r = len(rs_list)
+    etas = tuple(float(x) for x in radial_eta)
+    if len(etas) == 1:
+        etas = etas * n_r
+    if len(etas) != n_r:
+        raise ValueError('radial_eta must have length 1 or len(radial_rs)')
+    c = int(cell_capacity)
+    kk = 27 * c
+    npres = int(num_present)
+    out_w = npres * n_r
+    self_base = SELF_STENCIL_INDEX * c
+    scale = 0.25 if torchani else 1.0
+
+    def pair_geometry(candx, candy, candz, centers):
+        """[c, kk] pair deltas/r/fc from a [1, kk] window and [c, 3] centers.
+
+        Self-pairs are excluded by the static window-position identity
+        (center row k lives at window column self_base + k); empty slots
+        fail the cutoff via the FAR sentinel.
+        """
+        dx = candx - centers[:, 0:1]
+        dy = candy - centers[:, 1:2]
+        dz = candz - centers[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        lane = jax.lax.broadcasted_iota(jnp.int32, (c, kk), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (c, kk), 0)
+        valid = (d2 < rc * rc) & (lane != row + self_base)
+        r = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        fc = jnp.where(valid, 0.5 * jnp.cos(math.pi / rc * r) + 0.5, 0.0)
+        return dx, dy, dz, r, fc, valid
+
+    def species_masks(win_sp):
+        return [(win_sp == s).astype(jnp.float32) for s in range(npres)]
+
+    # Mosaic requires the last two block dims to be (8, 128)-aligned or
+    # equal to the array dims, so cells are processed CB=8 per grid step
+    # with a sequential in-kernel loop (sequencing keeps one cell's [c, kk]
+    # working set live at a time — ~15 arrays x c*kk*4 bytes).
+    CB = 8
+
+    def _cell_io(ref, g):
+        """Row g of a (CB, ...) block (leading dim kept, length 1)."""
+        return ref[(pl.ds(g, 1),) + (slice(None),) * (ref.ndim - 1)]
+
+    def fwd_kernel(candx_ref, candy_ref, candz_ref, sp_ref, centers_ref,
+                   out_ref):
+        def body(g, _):
+            cx = _cell_io(candx_ref, g)                   # [1, kk]
+            cy = _cell_io(candy_ref, g)
+            cz = _cell_io(candz_ref, g)
+            sp = _cell_io(sp_ref, g)
+            ctr = _cell_io(centers_ref, g)[0]             # [c, 3]
+            _, _, _, r, fc, _ = pair_geometry(cx, cy, cz, ctr)
+            masks = species_masks(sp)
+            w_s = [fc * m for m in masks]                 # [c, kk] per species
+            cols = [None] * out_w
+            for q, rs in enumerate(rs_list):
+                u = r - rs
+                e = jnp.exp(-etas[q] * (u * u))
+                for s in range(npres):
+                    cols[s * n_r + q] = scale * jnp.sum(
+                        w_s[s] * e, axis=1, keepdims=True)
+            out = jnp.concatenate(cols, axis=1)           # [c, out_w]
+            out_ref[pl.ds(g, 1)] = out[None]
+            return 0
+        jax.lax.fori_loop(0, CB, body, 0)
+
+    def bwd_kernel(candx_ref, candy_ref, candz_ref, sp_ref, centers_ref,
+                   g_ref, dcx_ref, dcy_ref, dcz_ref, dctr_ref):
+        def body(g, _):
+            cx = _cell_io(candx_ref, g)
+            cy = _cell_io(candy_ref, g)
+            cz = _cell_io(candz_ref, g)
+            sp = _cell_io(sp_ref, g)
+            ctr = _cell_io(centers_ref, g)[0]
+            gg = _cell_io(g_ref, g)[0]                    # [c, out_w]
+            dx, dy, dz, r, fc, valid = pair_geometry(cx, cy, cz, ctr)
+            masks = species_masks(sp)
+            dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
+                math.pi / rc * r), 0.0)
+            # alpha = dE/dr per pair, accumulated species-blind via
+            #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
+            #   alpha = sum_s mask_s (dfc A_s - 2 fc B_s)
+            acc = [jnp.zeros_like(r) for _ in range(npres)]
+            bcc = [jnp.zeros_like(r) for _ in range(npres)]
+            for q, rs in enumerate(rs_list):
+                u = r - rs
+                e = jnp.exp(-etas[q] * (u * u))
+                eu = e * (etas[q] * u)
+                for s in range(npres):
+                    gq = gg[:, s * n_r + q:s * n_r + q + 1]   # [c, 1]
+                    acc[s] = acc[s] + gq * e
+                    bcc[s] = bcc[s] + gq * eu
+            alpha = jnp.zeros_like(r)
+            for s in range(npres):
+                alpha = alpha + masks[s] * (dfc * acc[s] - 2.0 * fc * bcc[s])
+            coef = (scale * alpha) / r                    # 0 on invalid pairs
+            gx = coef * dx
+            gy = coef * dy
+            gz = coef * dz
+            dcx_ref[pl.ds(g, 1)] = jnp.sum(gx, axis=0, keepdims=True)
+            dcy_ref[pl.ds(g, 1)] = jnp.sum(gy, axis=0, keepdims=True)
+            dcz_ref[pl.ds(g, 1)] = jnp.sum(gz, axis=0, keepdims=True)
+            dctr = jnp.concatenate(
+                [-jnp.sum(gx, axis=1, keepdims=True),
+                 -jnp.sum(gy, axis=1, keepdims=True),
+                 -jnp.sum(gz, axis=1, keepdims=True)], axis=1)
+            dctr_ref[pl.ds(g, 1)] = dctr[None]
+            return 0
+        jax.lax.fori_loop(0, CB, body, 0)
+
+    def lane_spec():
+        return pl.BlockSpec((CB, kk), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def ctr_spec():
+        return pl.BlockSpec((CB, c, 3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def out_spec():
+        return pl.BlockSpec((CB, c, out_w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _pad_cells(x, fill):
+        pad = (-x.shape[0]) % CB
+        if pad == 0:
+            return x, 0
+        filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, filler], axis=0), pad
+
+    def run_fwd(candx, candy, candz, win_sp, centers):
+        candx, pad = _pad_cells(candx, FAR)
+        candy, _ = _pad_cells(candy, FAR)
+        candz, _ = _pad_cells(candz, FAR)
+        win_sp, _ = _pad_cells(win_sp, npres)
+        centers, _ = _pad_cells(centers, FAR)
+        ncp = candx.shape[0]
+        out = pl.pallas_call(
+            fwd_kernel,
+            grid=(ncp // CB,),
+            in_specs=[lane_spec()] * 4 + [ctr_spec()],
+            out_specs=out_spec(),
+            out_shape=jax.ShapeDtypeStruct((ncp, c, out_w), jnp.float32),
+            interpret=interpret,
+        )(candx, candy, candz, win_sp, centers)
+        return out[:ncp - pad] if pad else out
+
+    def run_bwd(candx, candy, candz, win_sp, centers, g):
+        ncells = candx.shape[0]
+        candx, pad = _pad_cells(candx, FAR)
+        candy, _ = _pad_cells(candy, FAR)
+        candz, _ = _pad_cells(candz, FAR)
+        win_sp, _ = _pad_cells(win_sp, npres)
+        centers, _ = _pad_cells(centers, FAR)
+        g, _ = _pad_cells(g, 0.0)
+        ncp = candx.shape[0]
+        dcx, dcy, dcz, dctr = pl.pallas_call(
+            bwd_kernel,
+            grid=(ncp // CB,),
+            in_specs=[lane_spec()] * 4 + [ctr_spec(), out_spec()],
+            out_specs=(lane_spec(), lane_spec(), lane_spec(), ctr_spec()),
+            out_shape=(jax.ShapeDtypeStruct((ncp, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((ncp, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((ncp, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((ncp, c, 3), jnp.float32)),
+            interpret=interpret,
+        )(candx, candy, candz, win_sp, centers, g)
+        if pad:
+            dcx, dcy, dcz, dctr = (a[:ncells] for a in (dcx, dcy, dcz, dctr))
+        return dcx, dcy, dcz, dctr
+
+    @jax.custom_vjp
+    def window_radial(candx, candy, candz, win_sp, centers):
+        return run_fwd(candx, candy, candz, win_sp, centers)
+
+    def _fwd(candx, candy, candz, win_sp, centers):
+        out = run_fwd(candx, candy, candz, win_sp, centers)
+        return out, (candx, candy, candz, win_sp, centers)
+
+    def _bwd(res, g):
+        candx, candy, candz, win_sp, centers = res
+        dcx, dcy, dcz, dctr = run_bwd(candx, candy, candz, win_sp, centers,
+                                      g.astype(jnp.float32))
+        return dcx, dcy, dcz, None, dctr
+
+    window_radial.defvjp(_fwd, _bwd)
+    return window_radial
+
+
+_KERNEL_CACHE: dict = {}
+
+
+def window_radial_aev(candx: Array, candy: Array, candz: Array,
+                      win_sp: Array, centers: Array,
+                      radial_cutoff: float, radial_eta: Sequence[float],
+                      radial_rs: Sequence[float], num_present: int,
+                      torchani: bool,
+                      interpret: Optional[bool] = None) -> Array:
+    """Cached-kernel entry: [ncells, c, P*R] radial AEV in slot space."""
+    c = centers.shape[1]
+    key = (radial_cutoff, tuple(float(x) for x in radial_eta),
+           tuple(float(x) for x in radial_rs),
+           num_present, c, torchani, interpret)
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = make_window_radial_kernel(
+            radial_cutoff, radial_eta, radial_rs, num_present, c, torchani,
+            interpret=interpret)
+    return _KERNEL_CACHE[key](candx, candy, candz, win_sp, centers)

@@ -57,7 +57,7 @@ def test_pallas_angular_gradient_matches_xla(torchani):
     def loss_xla(d):
         # Recompute ang_r from d (the kernel derives r from deltas itself).
         r = jnp.sqrt(jnp.where(payload.ang_mask,
-                               jnp.sum(d * d, axis=-1), 1.0))
+                               jnp.sum(d * d, axis=0), 1.0))
         r = jnp.where(payload.ang_mask, r, 0.0)
         a = compute_aev_blocked(payload._replace(ang_deltas=d, ang_r=r),
                                 basis, layout).angular

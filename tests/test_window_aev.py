@@ -1,0 +1,107 @@
+"""Window-mode AEV path (dense per-cell radial kernel + compacted angular):
+parity against the blocked/pallas path, periodic-wrap invariance, and the
+capacity-overflow contract."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnpops_tpu.config import ANIBasis
+from nnpops_tpu.models.ani import ANIModel, init_ani_params
+from nnpops_tpu.neighbors.cell_list import CellList
+from nnpops_tpu.utils.water import make_water_box
+
+
+@pytest.fixture(scope='module')
+def setup():
+    water = make_water_box(150, seed=0)       # box ~3 cells per axis
+    basis = ANIBasis.ani2x()
+    base = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
+    window = base.with_blocked_layout(water.positions, water.box,
+                                      impl='window')
+    pallas = base.with_blocked_layout(water.positions, water.box,
+                                      impl='pallas')
+    assert window.aev_impl == 'window'        # box is big enough for cells
+    params = init_ani_params(jax.random.PRNGKey(0), basis)
+    cl = CellList.create(water.box, basis.radial_cutoff,
+                         capacity=pallas.blocked_layout.rad_total)
+    return water, window, pallas, params, cl
+
+
+def test_window_energy_forces_match_pallas(setup):
+    water, window, pallas, params, cl = setup
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    e1, f1 = pallas.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = window.energy_and_forces_fused(params, pos, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-5)
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
+
+
+def test_window_wrap_invariance(setup):
+    """Translating atoms by whole box vectors changes nothing (the frozen
+    wrap_shift re-wraps into the primary box)."""
+    water, window, pallas, params, cl = setup
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    rng = np.random.RandomState(3)
+    shifts = rng.randint(-2, 3, (pos.shape[0], 3)).astype(np.float32)
+    pos2 = pos + jnp.asarray(shifts) @ box
+    e1, f1 = window.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = window.energy_and_forces_fused(params, pos2, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-6)
+    # f32 rounding differs after subtracting box multiples; only noise-level
+    # deviations are acceptable.
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=1e-3, atol=1e-4 * scale)
+
+
+def test_window_sticky_selection_reuse(setup):
+    """A frozen selection stays valid for drifted positions within the
+    Verlet-skin contract (cell list built with cutoff + skin)."""
+    water, window, pallas, params, _ = setup
+    skin = 0.3
+    window = ANIModel.from_atomic_numbers(
+        water.atomic_numbers, window.basis).with_blocked_layout(
+            water.positions, water.box, impl='window', skin=skin)
+    cl = CellList.create(water.box, window.basis.radial_cutoff + skin,
+                         capacity=window.blocked_layout.rad_total)
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    sel = window.select(pos, box, cl)
+    rng = np.random.RandomState(5)
+    drift = jnp.asarray(rng.uniform(-1, 1, pos.shape).astype(np.float32)
+                        * (skin / 2 / np.sqrt(3)) * 0.9)
+    pos2 = pos + drift
+    e_frozen, f_frozen = window.energy_and_forces_from_selection(
+        params, pos2, box, cl, sel)
+    sel2 = window.select(pos2, box, cl)
+    e_fresh, f_fresh = window.energy_and_forces_from_selection(
+        params, pos2, box, cl, sel2)
+    np.testing.assert_allclose(e_frozen, e_fresh, rtol=1e-5)
+    scale = np.abs(np.asarray(f_fresh)).max()
+    np.testing.assert_allclose(f_frozen, f_fresh, rtol=2e-4,
+                               atol=2e-5 * scale)
+
+
+def test_window_overflow_detected(setup):
+    water, window, pallas, params, _ = setup
+    tiny = CellList.create(water.box, window.basis.radial_cutoff,
+                           capacity=window.blocked_layout.rad_total,
+                           cell_capacity=8)
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    with pytest.raises(RuntimeError, match='overflow'):
+        window.check_overflow(pos, box, tiny)
+
+
+def test_window_requires_cells():
+    water = make_water_box(8, seed=1)         # box far below 3 cells
+    basis = ANIBasis.ani2x()
+    model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
+    model = model.with_blocked_layout(water.positions, water.box,
+                                      impl='window')
+    assert model.aev_impl == 'pallas'         # automatic fallback
