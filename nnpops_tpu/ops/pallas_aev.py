@@ -174,6 +174,45 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         return ((x1, y1, z1), (x2, y2, z2), r1, r2, dot12, valid, inv12,
                 cos_t, sin_t, cross, rm, fc1, fc2)
 
+    # Uniform-grid Gaussian ladder (same identity as pallas_window): the
+    # per-rs exp loop is the kernel's largest transcendental cost; for an
+    # even ShfA grid each e_q follows from one center exp + one base exp by
+    # two multiplies per point. rm is clamped to the cutoff first — beyond
+    # it every consumer multiplies by an exact-zero vf, and unclamped
+    # masked-lane distances would overflow the base (0 * inf = NaN).
+    _diffs = np.diff(rs_grid) if n_rs > 1 else np.zeros(0)
+    _ladder = (n_rs >= 4
+               and np.all(np.abs(_diffs - _diffs[0]) < 1e-5 * abs(_diffs[0])))
+    if _ladder:
+        _l_d = float(_diffs[0])
+        _l_c1 = math.exp(-eta * _l_d * _l_d)
+        _l_c2 = _l_c1 * _l_c1
+
+    def rs_exps(rm):
+        if not _ladder:
+            return [jnp.exp(-eta * (rm - rs) ** 2) for rs in rs_grid]
+        rm = jnp.minimum(rm, ra)
+        es = [None] * n_rs
+        s0 = n_rs // 2
+        u0 = rm - rs_grid[s0]
+        e0 = jnp.exp(-eta * (u0 * u0))
+        t = jnp.exp((2.0 * eta * _l_d) * u0)
+        es[s0] = e0
+        run = t * _l_c1
+        cur = e0
+        for q in range(s0 + 1, n_rs):
+            cur = cur * run
+            es[q] = cur
+            run = run * _l_c2
+        t_inv = 1.0 / t
+        run = t_inv * _l_c1
+        cur = e0
+        for q in range(s0 - 1, -1, -1):
+            cur = cur * run
+            es[q] = cur
+            run = run * _l_c2
+        return es
+
     def pow_static(base, exponent):
         """base ** exponent with the integer part done by binary
         exponentiation: exp(z*log x) alone amplifies log's absolute error by
@@ -229,9 +268,9 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
          ) = pair_geometry(dx, dy, dz, m, selj, selk)
         vf = valid * fc1 * fc2
         cps = cos_pows(cos_t, sin_t)
-        for i_rs, rs in enumerate(rs_grid):
-            u = rm - rs
-            e = vf * jnp.exp(-eta * u * u)
+        es = rs_exps(rm)
+        for i_rs in range(n_rs):
+            e = vf * es[i_rs]
             for i_ts in range(n_ts):
                 w = e * cps[i_ts]
                 for i_seg, (t0, t1) in enumerate(segs):
@@ -260,9 +299,10 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         a_acc = zeros                     # dW/d(vf)
         b_acc = zeros                     # dW/d(rm) / vf
         c_acc = [zeros] * n_ts            # dW/d(cos_pow[ts]) / vf
+        es = rs_exps(rm)
         for i_rs, rs in enumerate(rs_grid):
             u = rm - rs
-            e_raw = jnp.exp(-eta * u * u)
+            e_raw = es[i_rs]
             for i_ts in range(n_ts):
                 # Broadcast the per-segment cotangent onto its lane range:
                 # outer products against the constant 0/1 segment masks.

@@ -96,6 +96,59 @@ def make_window_radial_kernel(radial_cutoff: float,
     self_base = SELF_STENCIL_INDEX * c
     scale = 0.25 if torchani else 1.0
 
+    # Uniform-grid Gaussian ladder: for an evenly spaced rs grid with one
+    # eta, e_{q+1}/e_q = exp(2 eta d u_q - eta d^2) factors into one
+    # pair-dependent base times constant powers, so each HALF of the grid
+    # costs 2 exps + 1 reciprocal + 2 multiplies per point instead of one
+    # exp per point. exp is the kernel's dominant cost (16 per pair slot,
+    # multi-pass on the VPU). Two ladder centers bound the in-half distance
+    # so the f32 underflow edge contributes < ~3e-9 absolute error
+    # (vs sums of O(1)); exact-match tests guard the fallback path.
+    diffs = np.diff(rs_list) if n_r > 1 else np.zeros(0)
+    ladder = (n_r >= 8 and len(set(etas)) == 1
+              and np.all(np.abs(diffs - diffs[0]) < 1e-5 * abs(diffs[0])))
+    if ladder:
+        l_eta = etas[0]
+        l_d = float(diffs[0])
+        l_c1 = math.exp(-l_eta * l_d * l_d)
+        l_c2 = l_c1 * l_c1
+        n_half = (n_r + 7) // 8
+        bounds = [(h * n_r // n_half, (h + 1) * n_r // n_half)
+                  for h in range(n_half)]
+
+    def iter_radial_exps(r):
+        """Yield (q, e_q(r)) in ladder order — LAZY, so only the running
+        product stays live (holding all n_r [c, kk] arrays at once was
+        measured to spill VMEM and triple the backward kernel).
+
+        r is clamped to the cutoff first: beyond rc every consumer
+        multiplies by an exact-zero fc/mask, and unclamped FAR-sentinel
+        distances would overflow the ladder base to inf (0 * inf = NaN)."""
+        if not ladder:
+            for q in range(n_r):
+                yield q, jnp.exp(-etas[q] * (r - rs_list[q]) ** 2)
+            return
+        r = jnp.minimum(r, rc)
+        for h0, h1 in bounds:
+            s0 = (h0 + h1) // 2
+            u0 = r - rs_list[s0]
+            e0 = jnp.exp(-l_eta * (u0 * u0))
+            t = jnp.exp((2.0 * l_eta * l_d) * u0)
+            yield s0, e0
+            run = t * l_c1
+            cur = e0
+            for q in range(s0 + 1, h1):
+                cur = cur * run
+                run = run * l_c2
+                yield q, cur
+            t_inv = 1.0 / t
+            run = t_inv * l_c1
+            cur = e0
+            for q in range(s0 - 1, h0 - 1, -1):
+                cur = cur * run
+                run = run * l_c2
+                yield q, cur
+
     def pair_geometry(candx, candy, candz, centers):
         """[c, kk] pair deltas/r/fc from a [1, kk] window and [c, 3] centers.
 
@@ -117,142 +170,109 @@ def make_window_radial_kernel(radial_cutoff: float,
     def species_masks(win_sp):
         return [(win_sp == s).astype(jnp.float32) for s in range(npres)]
 
-    # Mosaic requires the last two block dims to be (8, 128)-aligned or
-    # equal to the array dims, so cells are processed CB=8 per grid step
-    # with a sequential in-kernel loop (sequencing keeps one cell's [c, kk]
-    # working set live at a time — ~15 arrays x c*kk*4 bytes).
-    CB = 8
-
-    def _cell_io(ref, g):
-        """Row g of a (CB, ...) block (leading dim kept, length 1)."""
-        return ref[(pl.ds(g, 1),) + (slice(None),) * (ref.ndim - 1)]
+    # Mosaic requires the last two block dims to be (8, 128)-aligned OR
+    # equal to the array dims. The [ncells, kk] lane arrays are therefore
+    # passed as [ncells, 1, kk] (block (1, 1, kk): both trailing dims equal
+    # the array dims) — one cell per grid step, no in-kernel cell loop, so
+    # Mosaic double-buffers the per-cell DMA across grid steps and VMEM
+    # holds a single cell's [c, kk] working set.
 
     def fwd_kernel(candx_ref, candy_ref, candz_ref, sp_ref, centers_ref,
                    out_ref):
-        def body(g, _):
-            cx = _cell_io(candx_ref, g)                   # [1, kk]
-            cy = _cell_io(candy_ref, g)
-            cz = _cell_io(candz_ref, g)
-            sp = _cell_io(sp_ref, g)
-            ctr = _cell_io(centers_ref, g)[0]             # [c, 3]
-            _, _, _, r, fc, _ = pair_geometry(cx, cy, cz, ctr)
-            masks = species_masks(sp)
-            w_s = [fc * m for m in masks]                 # [c, kk] per species
-            cols = [None] * out_w
-            for q, rs in enumerate(rs_list):
-                u = r - rs
-                e = jnp.exp(-etas[q] * (u * u))
-                for s in range(npres):
-                    cols[s * n_r + q] = scale * jnp.sum(
-                        w_s[s] * e, axis=1, keepdims=True)
-            out = jnp.concatenate(cols, axis=1)           # [c, out_w]
-            out_ref[pl.ds(g, 1)] = out[None]
-            return 0
-        jax.lax.fori_loop(0, CB, body, 0)
+        cx = candx_ref[0]                                 # [1, kk]
+        cy = candy_ref[0]
+        cz = candz_ref[0]
+        sp = sp_ref[0]
+        ctr = centers_ref[0]                              # [c, 3]
+        _, _, _, r, fc, _ = pair_geometry(cx, cy, cz, ctr)
+        masks = species_masks(sp)
+        w_s = [fc * m for m in masks]                     # [c, kk] per species
+        cols = [None] * out_w
+        for q, e in iter_radial_exps(r):
+            for s in range(npres):
+                cols[s * n_r + q] = scale * jnp.sum(
+                    w_s[s] * e, axis=1, keepdims=True)
+        out_ref[0] = jnp.concatenate(cols, axis=1)        # [c, out_w]
 
     def bwd_kernel(candx_ref, candy_ref, candz_ref, sp_ref, centers_ref,
                    g_ref, dcx_ref, dcy_ref, dcz_ref, dctr_ref):
-        def body(g, _):
-            cx = _cell_io(candx_ref, g)
-            cy = _cell_io(candy_ref, g)
-            cz = _cell_io(candz_ref, g)
-            sp = _cell_io(sp_ref, g)
-            ctr = _cell_io(centers_ref, g)[0]
-            gg = _cell_io(g_ref, g)[0]                    # [c, out_w]
-            dx, dy, dz, r, fc, valid = pair_geometry(cx, cy, cz, ctr)
-            masks = species_masks(sp)
-            dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
-                math.pi / rc * r), 0.0)
-            # alpha = dE/dr per pair, accumulated species-blind via
-            #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
-            #   alpha = sum_s mask_s (dfc A_s - 2 fc B_s)
-            acc = [jnp.zeros_like(r) for _ in range(npres)]
-            bcc = [jnp.zeros_like(r) for _ in range(npres)]
-            for q, rs in enumerate(rs_list):
-                u = r - rs
-                e = jnp.exp(-etas[q] * (u * u))
-                eu = e * (etas[q] * u)
-                for s in range(npres):
-                    gq = gg[:, s * n_r + q:s * n_r + q + 1]   # [c, 1]
-                    acc[s] = acc[s] + gq * e
-                    bcc[s] = bcc[s] + gq * eu
-            alpha = jnp.zeros_like(r)
+        cx = candx_ref[0]
+        cy = candy_ref[0]
+        cz = candz_ref[0]
+        sp = sp_ref[0]
+        ctr = centers_ref[0]
+        gg = g_ref[0]                                     # [c, out_w]
+        dx, dy, dz, r, fc, valid = pair_geometry(cx, cy, cz, ctr)
+        masks = species_masks(sp)
+        dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
+            math.pi / rc * r), 0.0)
+        # alpha = dE/dr per pair, accumulated species-blind via
+        #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
+        #   alpha = sum_s mask_s (dfc A_s - 2 fc B_s)
+        acc = [jnp.zeros_like(r) for _ in range(npres)]
+        bcc = [jnp.zeros_like(r) for _ in range(npres)]
+        for q, e in iter_radial_exps(r):
+            eu = e * (etas[q] * (r - rs_list[q]))
             for s in range(npres):
-                alpha = alpha + masks[s] * (dfc * acc[s] - 2.0 * fc * bcc[s])
-            coef = (scale * alpha) / r                    # 0 on invalid pairs
-            gx = coef * dx
-            gy = coef * dy
-            gz = coef * dz
-            dcx_ref[pl.ds(g, 1)] = jnp.sum(gx, axis=0, keepdims=True)
-            dcy_ref[pl.ds(g, 1)] = jnp.sum(gy, axis=0, keepdims=True)
-            dcz_ref[pl.ds(g, 1)] = jnp.sum(gz, axis=0, keepdims=True)
-            dctr = jnp.concatenate(
-                [-jnp.sum(gx, axis=1, keepdims=True),
-                 -jnp.sum(gy, axis=1, keepdims=True),
-                 -jnp.sum(gz, axis=1, keepdims=True)], axis=1)
-            dctr_ref[pl.ds(g, 1)] = dctr[None]
-            return 0
-        jax.lax.fori_loop(0, CB, body, 0)
+                gq = gg[:, s * n_r + q:s * n_r + q + 1]   # [c, 1]
+                acc[s] = acc[s] + gq * e
+                bcc[s] = bcc[s] + gq * eu
+        alpha = jnp.zeros_like(r)
+        for s in range(npres):
+            alpha = alpha + masks[s] * (dfc * acc[s] - 2.0 * fc * bcc[s])
+        coef = (scale * alpha) / r                        # 0 on invalid pairs
+        gx = coef * dx
+        gy = coef * dy
+        gz = coef * dz
+        dcx_ref[0] = jnp.sum(gx, axis=0, keepdims=True)
+        dcy_ref[0] = jnp.sum(gy, axis=0, keepdims=True)
+        dcz_ref[0] = jnp.sum(gz, axis=0, keepdims=True)
+        dctr_ref[0] = jnp.concatenate(
+            [-jnp.sum(gx, axis=1, keepdims=True),
+             -jnp.sum(gy, axis=1, keepdims=True),
+             -jnp.sum(gz, axis=1, keepdims=True)], axis=1)
 
     def lane_spec():
-        return pl.BlockSpec((CB, kk), lambda i: (i, 0),
+        return pl.BlockSpec((1, 1, kk), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def ctr_spec():
-        return pl.BlockSpec((CB, c, 3), lambda i: (i, 0, 0),
+        return pl.BlockSpec((1, c, 3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def out_spec():
-        return pl.BlockSpec((CB, c, out_w), lambda i: (i, 0, 0),
+        return pl.BlockSpec((1, c, out_w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def _pad_cells(x, fill):
-        pad = (-x.shape[0]) % CB
-        if pad == 0:
-            return x, 0
-        filler = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
-        return jnp.concatenate([x, filler], axis=0), pad
+    def _mid(x):
+        return x.reshape(x.shape[0], 1, x.shape[1])
 
     def run_fwd(candx, candy, candz, win_sp, centers):
-        candx, pad = _pad_cells(candx, FAR)
-        candy, _ = _pad_cells(candy, FAR)
-        candz, _ = _pad_cells(candz, FAR)
-        win_sp, _ = _pad_cells(win_sp, npres)
-        centers, _ = _pad_cells(centers, FAR)
-        ncp = candx.shape[0]
-        out = pl.pallas_call(
+        ncells = candx.shape[0]
+        return pl.pallas_call(
             fwd_kernel,
-            grid=(ncp // CB,),
+            grid=(ncells,),
             in_specs=[lane_spec()] * 4 + [ctr_spec()],
             out_specs=out_spec(),
-            out_shape=jax.ShapeDtypeStruct((ncp, c, out_w), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ncells, c, out_w), jnp.float32),
             interpret=interpret,
-        )(candx, candy, candz, win_sp, centers)
-        return out[:ncp - pad] if pad else out
+        )(_mid(candx), _mid(candy), _mid(candz), _mid(win_sp), centers)
 
     def run_bwd(candx, candy, candz, win_sp, centers, g):
         ncells = candx.shape[0]
-        candx, pad = _pad_cells(candx, FAR)
-        candy, _ = _pad_cells(candy, FAR)
-        candz, _ = _pad_cells(candz, FAR)
-        win_sp, _ = _pad_cells(win_sp, npres)
-        centers, _ = _pad_cells(centers, FAR)
-        g, _ = _pad_cells(g, 0.0)
-        ncp = candx.shape[0]
         dcx, dcy, dcz, dctr = pl.pallas_call(
             bwd_kernel,
-            grid=(ncp // CB,),
+            grid=(ncells,),
             in_specs=[lane_spec()] * 4 + [ctr_spec(), out_spec()],
             out_specs=(lane_spec(), lane_spec(), lane_spec(), ctr_spec()),
-            out_shape=(jax.ShapeDtypeStruct((ncp, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncp, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncp, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncp, c, 3), jnp.float32)),
+            out_shape=(jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((ncells, c, 3), jnp.float32)),
             interpret=interpret,
-        )(candx, candy, candz, win_sp, centers, g)
-        if pad:
-            dcx, dcy, dcz, dctr = (a[:ncells] for a in (dcx, dcy, dcz, dctr))
-        return dcx, dcy, dcz, dctr
+        )(_mid(candx), _mid(candy), _mid(candz), _mid(win_sp), centers, g)
+        return (dcx.reshape(ncells, kk), dcy.reshape(ncells, kk),
+                dcz.reshape(ncells, kk), dctr)
 
     @jax.custom_vjp
     def window_radial(candx, candy, candz, win_sp, centers):
