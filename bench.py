@@ -44,8 +44,7 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
     # Verlet skin: the selection (cell assignment + per-species compaction +
     # frozen angular sub-list) is refreshed every `refresh_every` steps and
     # reused in between — the standard MD amortization.
-    cell_list = CellList.create(water.box, basis.radial_cutoff + skin,
-                                capacity=model.blocked_layout.rad_total)
+    cell_list = model.create_cell_list(water.box, skin=skin)
     blocks = max(1, steps_per_call // refresh_every)
 
     @jax.jit

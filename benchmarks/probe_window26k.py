@@ -49,8 +49,7 @@ model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
 model = model.with_blocked_layout(water.positions, water.box, margin=1.15,
                                   impl='window', skin=SKIN)
 layout = model.blocked_layout
-cl = CellList.create(water.box, basis.radial_cutoff + SKIN,
-                     capacity=layout.rad_total)
+cl = model.create_cell_list(water.box, skin=SKIN)
 params = init_ani_params(jax.random.PRNGKey(0), basis)
 box = jnp.asarray(water.box)
 pos = jnp.asarray(water.positions)
@@ -133,13 +132,19 @@ def radial_fwd(p):
     slots = jnp.full((cc, 3), FAR, p.dtype)
     slots = slots.at[sel.ang.slot_of_sorted].set(pos_sorted, mode='drop')
     planes = slots.T.reshape(3, ncells, c)
-    win = W._make_stencil_window(cl.ncells, c)(planes)
+    import numpy as _np
+    offs = _np.cumsum((0,) + layout.cell_caps)[:-1]
+    wins = [W._make_stencil_window(cl.ncells, cs)(
+        planes[:, :, int(offs[i]):int(offs[i]) + cs])
+        for i, cs in enumerate(layout.cell_caps)]
+    win = jnp.concatenate(wins, axis=2)
     rad = window_radial_aev(win[0] + sel.shift_planes[0],
                             win[1] + sel.shift_planes[1],
                             win[2] + sel.shift_planes[2],
-                            sel.win_sp, slots.reshape(ncells, c, 3),
+                            slots.reshape(ncells, c, 3),
                             basis.radial_cutoff, basis.radial_eta,
-                            basis.radial_rs, npres, basis.torchani)
+                            basis.radial_rs, layout.cell_caps,
+                            basis.torchani)
     return rad
 
 

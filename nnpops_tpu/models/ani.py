@@ -124,25 +124,41 @@ class ANIModel:
         capacity windows — the frozen lists must hold every pair that can
         enter the cutoff before the next refresh)."""
         from ..neighbors.blocked import plan_blocked_layout
+        cell_grid = cell_caps = None
         if impl == 'window':
             lane_multiple = max(lane_multiple, 8)
-            widths = (np.asarray(box, np.float64) if box is not None
-                      else None)
-            if widths is not None:
-                from ..neighbors.cell_list import _perpendicular_widths
-                nc = (_perpendicular_widths(widths)
-                      // (self.basis.radial_cutoff + skin)).astype(int)
-                if (nc < 3).any():
-                    impl = 'pallas'   # no cell grid: window mode impossible
-            else:
+            if box is None:
                 impl = 'pallas'
+            else:
+                from ..neighbors.window import plan_window_cells
+                present = tuple(int(s) for s in np.unique(self.species_array))
+                cell_grid, cell_caps = plan_window_cells(
+                    positions, box, self.species_array, present,
+                    self.basis.radial_cutoff + skin, margin=margin)
+                if cell_grid is None:
+                    impl = 'pallas'   # no cell grid: window mode impossible
         layout = plan_blocked_layout(
             positions, box, self.species_array,
             self.basis.radial_cutoff + skin,
             self.basis.angular_cutoff + skin, self.basis.num_species,
             margin=margin, lane_multiple=lane_multiple)
+        if cell_caps is not None:
+            layout = dataclasses.replace(layout, cell_caps=cell_caps,
+                                         cell_grid=cell_grid)
         return dataclasses.replace(self, aev_impl=impl,
                                    blocked_layout=layout)
+
+    def create_cell_list(self, box, skin: float = 0.0):
+        """The matching CellList for this model's planned layout: window
+        mode needs the cell capacity to equal the planned species-sub-block
+        total (select_window verifies)."""
+        from ..neighbors.cell_list import CellList
+        cell_capacity = None
+        if self.aev_impl == 'window' and self.blocked_layout.cell_caps:
+            cell_capacity = sum(self.blocked_layout.cell_caps)
+        return CellList.create(box, self.basis.radial_cutoff + skin,
+                               capacity=self.blocked_layout.rad_total,
+                               cell_capacity=cell_capacity)
 
     @property
     def num_atoms(self) -> int:
@@ -257,9 +273,9 @@ class ANIModel:
         if self.aev_impl == 'window':
             wsel = self.select(positions, box, cell_list)
             # Window radial is capacity-free; the remaining capacities are
-            # the cell occupancy and the angular lane caps.
+            # the per-(cell, species) occupancy and the angular lane caps.
             return {'max_neighbors': wsel.ang.max_rad,
-                    'max_cell_occupancy': wsel.ang.max_cell_occupancy,
+                    'max_cell_occupancy': wsel.max_cell_sp,
                     'max_angular': wsel.ang.max_ang}
         if self.aev_impl in ('blocked', 'pallas'):
             bsel = self.select(positions, box, cell_list)
@@ -288,8 +304,11 @@ class ANIModel:
             rad_caps = (self.blocked_layout.ang_caps
                         if self.aev_impl == 'window'
                         else self.blocked_layout.rad_caps)
+            cell_cap = (np.asarray(self.blocked_layout.cell_caps)
+                        if self.aev_impl == 'window'
+                        else cell_list.cell_capacity)
             caps = {'max_neighbors': np.asarray(rad_caps),
-                    'max_cell_occupancy': cell_list.cell_capacity,
+                    'max_cell_occupancy': cell_cap,
                     'max_angular': np.asarray(self.blocked_layout.ang_caps)}
             bad = {k: (counts[k].tolist(), np.asarray(caps[k]).tolist())
                    for k in counts if np.any(counts[k] > caps[k])}

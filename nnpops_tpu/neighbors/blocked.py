@@ -54,10 +54,18 @@ class BlockedLayout:
     present: Tuple[int, ...]
     rad_caps: Tuple[int, ...]
     ang_caps: Tuple[int, ...]
+    # Window-mode extras (None unless planned for aev_impl='window'):
+    # per-present-species cell-slot capacities (cell blocks are species-
+    # sub-blocked: species i occupies slot ranks [sum(cell_caps[:i]),
+    # sum(cell_caps[:i+1])) of its cell) and the planned cell grid.
+    cell_caps: Optional[Tuple[int, ...]] = None
+    cell_grid: Optional[Tuple[int, int, int]] = None
 
     def __post_init__(self):
         if not (len(self.present) == len(self.rad_caps) == len(self.ang_caps)):
             raise ValueError('present/rad_caps/ang_caps must align')
+        if self.cell_caps is not None and len(self.cell_caps) != len(self.present):
+            raise ValueError('cell_caps must align with present')
 
     @property
     def rad_total(self) -> int:

@@ -9,6 +9,10 @@ species-blocked lanes of ``neighbors.blocked``):
   This kills the largest single cost of the blocked path at production
   sizes: the latency-bound [N, K_rad]-row payload gather and its
   mirror-list adjoint (~23 ms of a 37 ms step at 26k atoms);
+* cell slots are SPECIES-SUB-BLOCKED (species i holds slot ranks
+  [sum(cell_caps[:i]), sum(cell_caps[:i+1])) of its cell) and the window
+  is species-major, so the kernel's per-species reductions are contiguous
+  lane slices — no species masks, no win_sp table at all;
 * the ANGULAR AEV keeps compacted per-atom lanes (its triple enumeration
   needs them), but the per-step gather now fetches ONLY the angular window
   (~3x fewer rows than the radial list, neighbor counts scale with r^3).
@@ -28,9 +32,9 @@ selection before any atom moves more than skin/2.
 
 Reference parity: the radial/angular math matches
 CpuANISymmetryFunctions.cpp:99-109/:141-147/:183-190; the soft-failure
-capacity contract follows getNeighborPairs.py:77-83 (cell occupancy and
-angular lane counts are the only capacities left — the window radial is
-capacity-free).
+capacity contract follows getNeighborPairs.py:77-83 (per-(cell, species)
+occupancy and angular lane counts are the only capacities left — the
+window radial is otherwise capacity-free).
 """
 from __future__ import annotations
 
@@ -44,7 +48,7 @@ import numpy as np
 from ..ops.pallas_window import FAR, window_radial_aev
 from .blocked import (BlockedLayout, BlockedSelection, _compact_blocked,
                       payload_from_blocked)
-from .cell_list import CellList
+from .cell_list import CellList, _perpendicular_widths
 
 Array = jnp.ndarray
 
@@ -57,15 +61,47 @@ class WindowSelection(NamedTuple):
     payload gather's adjoint.
     """
     ang: BlockedSelection
-    win_sp: Array          # [ncells, kk] int32 present-species index
     shift_planes: Array    # [3, ncells, kk] periodic image shifts
     wrap_shift: Array      # [N, 3] frozen box wrap per atom
+    max_cell_sp: Array     # [npres] true max per-(cell, species) occupancy
+
+
+def plan_window_cells(positions, box, species, present,
+                      cutoff: float, margin: float = 1.15,
+                      ) -> Tuple[Optional[Tuple[int, int, int]],
+                                 Optional[Tuple[int, ...]]]:
+    """Host-side planner: (cell_grid, per-present-species cell capacities)
+    for species-sub-blocked window slots, or (None, None) when the box is
+    under 3 cells wide (window mode impossible)."""
+    box_np = np.asarray(box, np.float64)
+    widths = _perpendicular_widths(box_np)
+    nc = np.maximum(np.floor(widths / cutoff).astype(int), 1)
+    if (nc < 3).any():
+        return None, None
+    nx, ny, nz = (int(x) for x in nc)
+    ncells = nx * ny * nz
+    inv = np.linalg.inv(box_np)
+    frac = np.asarray(positions, np.float64) @ inv
+    frac -= np.floor(frac)
+    c3 = np.minimum((frac * nc).astype(int), nc - 1)
+    cid = (c3[:, 0] * ny + c3[:, 1]) * nz + c3[:, 2]
+    species = np.asarray(species)
+    pres_index = {s: i for i, s in enumerate(present)}
+    sp_idx = np.array([pres_index[int(s)] for s in species])
+    npres = len(present)
+    counts = np.bincount(cid * npres + sp_idx,
+                         minlength=ncells * npres).reshape(ncells, npres)
+    caps = [int(np.ceil(m * margin)) + 1 for m in counts.max(axis=0)]
+    pad = (-sum(caps)) % 8          # sublane-align the total cell block
+    caps[-1] += pad
+    return (nx, ny, nz), tuple(caps)
 
 
 @functools.lru_cache(maxsize=16)
 def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
-    """Static per-cell-grid tables: wrap factors [ncells, 27, 3] and the
-    reverse flat index for the window adjoint [ncells, 27]."""
+    """Static per-cell-grid tables: wrap factors [ncells, 27, 3], the
+    stencil [ncells, 27], and the reverse flat index for the window adjoint
+    [ncells, 27]."""
     nx, ny, nz = ncells3
     cx, cy, cz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
                              indexing='ij')
@@ -75,7 +111,6 @@ def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
     tot = coords[:, None, :] + offs[None, :, :]                 # [cells,27,3]
     n3 = np.array([nx, ny, nz])
     f27 = np.floor_divide(tot, n3).astype(np.float32)
-    # Stencil (same enumeration as CellList._stencil).
     wrapped = np.mod(tot, n3)
     stencil = ((wrapped[:, :, 0] * ny + wrapped[:, :, 1]) * nz
                + wrapped[:, :, 2]).astype(np.int32)
@@ -88,7 +123,7 @@ def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
     return f27, stencil, rev_flat
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def _make_stencil_window(ncells3: Tuple[int, int, int], c: int):
     """planes [3, ncells, c] -> window [3, ncells, 27*c] with a
     gather-based custom adjoint (XLA's scatter-add transpose of the stencil
@@ -124,29 +159,68 @@ def ang_as_rad_layout(layout: BlockedLayout) -> BlockedLayout:
                          ang_caps=layout.ang_caps)
 
 
+def _check_window_config(cell_list: CellList, layout: BlockedLayout) -> None:
+    if layout.cell_caps is None or layout.cell_grid is None:
+        raise ValueError('window mode needs a layout planned with cell '
+                         'capacities (ANIModel.with_blocked_layout('
+                         "impl='window'))")
+    if not cell_list.use_cells:
+        raise ValueError('window mode requires a cell decomposition '
+                         '(>= 3 cells per axis); use aev_impl="pallas" for '
+                         'small or non-periodic systems')
+    if tuple(cell_list.ncells) != tuple(layout.cell_grid):
+        raise ValueError(f'cell grid mismatch: cell list {cell_list.ncells} '
+                         f'vs planned {layout.cell_grid} — build the cell '
+                         'list with ANIModel.create_cell_list')
+    if cell_list.cell_capacity != sum(layout.cell_caps):
+        raise ValueError(f'cell capacity mismatch: cell list '
+                         f'{cell_list.cell_capacity} vs planned '
+                         f'{sum(layout.cell_caps)} — build the cell list '
+                         'with ANIModel.create_cell_list')
+
+
+@functools.lru_cache(maxsize=32)
+def _lane_tables(cell_caps: Tuple[int, ...]):
+    """Static per-window-lane tables for species-major windows.
+
+    Window lane layout: for species s (present order), a contiguous block
+    of 27 * cell_caps[s] lanes, entry-major within the block. Returns
+    (entry_of_lane [kk], slotoff_of_lane [kk]) where the global cell-slot
+    id of lane j in cell `cl` is stencil[cl, entry[j]] * c + slotoff[j].
+    """
+    offs = np.cumsum((0,) + cell_caps)[:-1]
+    entry, slotoff = [], []
+    for s, cs in enumerate(cell_caps):
+        e = np.repeat(np.arange(27), cs)
+        r = np.tile(np.arange(cs), 27) + offs[s]
+        entry.append(e)
+        slotoff.append(r)
+    return (np.concatenate(entry).astype(np.int32),
+            np.concatenate(slotoff).astype(np.int32))
+
+
 def select_window(cell_list: CellList, positions: Array, box: Array,
                   species: np.ndarray, layout: BlockedLayout,
                   radial_cutoff: float, angular_cutoff: float,
                   ) -> WindowSelection:
     """Freeze a window-mode selection.
 
-    ``layout``: only ``ang_caps``/``present`` are consumed (the angular
-    compaction); radial lanes do not exist in this mode.
+    ``layout``: ``ang_caps``/``present`` drive the angular compaction;
+    ``cell_caps``/``cell_grid`` the species-sub-blocked slot assignment.
     """
-    if not cell_list.use_cells:
-        raise ValueError('window mode requires a cell decomposition '
-                         '(>= 3 cells per axis); use aev_impl="pallas" for '
-                         'small or non-periodic systems')
-    c = cell_list.cell_capacity
-    if c % 8:
-        raise ValueError(f'window mode needs cell_capacity % 8 == 0 '
-                         f'(got {c}); CellList.create rounds automatically')
+    _check_window_config(cell_list, layout)
     positions = jax.lax.stop_gradient(positions)
     box = jax.lax.stop_gradient(box)
     n = positions.shape[0]
     nx, ny, nz = cell_list.ncells
     ncells = cell_list.num_cells
     ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+    cell_caps = layout.cell_caps
+    npres = len(layout.present)
+    c = sum(cell_caps)
+    cc = ncells * c
+    kk = 27 * c
+
     inv = jnp.linalg.inv(box)
     frac = positions @ inv
     wrap_f = jnp.floor(frac)
@@ -155,67 +229,81 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
     cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
 
-    order = jnp.argsort(cell_id, stable=True)
-    sorted_ids = cell_id[order]
+    # Species-sub-blocked slot assignment: sort by (cell, species), rank
+    # within each (cell, species) segment.
+    pres_table = np.full(layout.num_species + 1, npres, np.int32)
+    for i, s in enumerate(layout.present):
+        pres_table[s] = i
+    sp_idx_np = pres_table[np.asarray(species, np.int32)]       # static
+    key = cell_id * npres + jnp.asarray(sp_idx_np)
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
     idx_n = jnp.arange(n, dtype=jnp.int32)
     new_seg = jnp.concatenate([jnp.ones((1,), bool),
-                               sorted_ids[1:] != sorted_ids[:-1]])
+                               sorted_key[1:] != sorted_key[:-1]])
     seg_start = jax.lax.cummax(jnp.where(new_seg, idx_n, 0))
     rank_sorted = idx_n - seg_start
-    occupancy = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell_id,
-                                    num_segments=ncells)
+    cell_sorted = sorted_key // npres
+    sp_sorted = sorted_key % npres
+    caps_arr = jnp.asarray(np.asarray(cell_caps, np.int32))
+    offs_np = np.cumsum((0,) + cell_caps)[:-1].astype(np.int32)
+    offs_arr = jnp.asarray(offs_np)
+    slot_of_sorted = jnp.where(
+        rank_sorted < caps_arr[sp_sorted],
+        cell_sorted * c + offs_arr[sp_sorted] + rank_sorted, cc + 1)
+
+    seg_counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), key,
+                                     num_segments=ncells * npres)
+    max_cell_sp = jnp.max(seg_counts.reshape(ncells, npres), axis=0)
+    occupancy = jnp.sum(seg_counts.reshape(ncells, npres), axis=1)
     max_occ = jnp.max(occupancy)
 
-    cc = ncells * c
-    kk = 27 * c
-    slot_of_sorted = jnp.where(rank_sorted < c,
-                               sorted_ids * c + rank_sorted, cc + 1)
     p_w = positions - wrap_shift
     pos_sorted = p_w[order]
     pos_slots = jnp.full((cc, 3), FAR, positions.dtype)
     pos_slots = pos_slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
 
-    npres = len(layout.present)
-    sp_table = np.full(layout.num_species + 1, layout.num_species, np.int32)
-    sp_raw_sorted = jnp.asarray(np.asarray(species, np.int32))[order]
-    sp_slots_raw = jnp.full((cc,), layout.num_species, jnp.int32)
-    sp_slots_raw = sp_slots_raw.at[slot_of_sorted].set(sp_raw_sorted,
-                                                       mode='drop')
-    pres_table = np.full(layout.num_species + 1, npres, np.int32)
-    for i, s in enumerate(layout.present):
-        pres_table[s] = i
-
     f27_np, stencil_np, _ = _window_tables((nx, ny, nz))
     stencil = jnp.asarray(stencil_np)
-    sp_raw_win = sp_slots_raw.reshape(ncells, c)[stencil].reshape(ncells, kk)
-    win_sp = jnp.asarray(pres_table)[sp_raw_win]
     shift27 = jnp.asarray(f27_np) @ box                     # [ncells, 27, 3]
-    shift_planes = jnp.repeat(shift27.transpose(2, 0, 1), c, axis=2)
+    shift_parts = [jnp.repeat(shift27.transpose(2, 0, 1), cs, axis=2)
+                   for cs in cell_caps]
+    shift_planes = jnp.concatenate(shift_parts, axis=2)     # [3, cells, kk]
 
-    # Angular candidate phase (per sorted atom, for the compaction).
-    cand_cells = pos_slots.reshape(ncells, c, 3)[stencil]
-    cand_cells = (cand_cells.reshape(ncells, kk, 3).transpose(0, 2, 1)
-                  + shift_planes.transpose(1, 0, 2))        # [ncells, 3, kk]
-    cand_pos = cand_cells[sorted_ids]                       # [N, 3, kk]
+    # Species-major candidate windows (per-species stencil expansion of the
+    # global slot planes' static species sub-columns).
+    planes = pos_slots.T.reshape(3, ncells, c)
+    wins = []
+    for i, cs in enumerate(cell_caps):
+        sub = planes[:, :, offs_np[i]:offs_np[i] + cs]
+        wins.append(_make_stencil_window((nx, ny, nz), cs)(sub))
+    cand_cells = jnp.concatenate(wins, axis=2) + shift_planes
+    cand_pos = cand_cells.transpose(1, 0, 2)[cell_sorted]   # [N, 3, kk]
     dx = cand_pos[:, 0, :] - pos_sorted[:, 0:1]
     dy = cand_pos[:, 1, :] - pos_sorted[:, 1:2]
     dz = cand_pos[:, 2, :] - pos_sorted[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
-    cand_slot = (stencil[:, :, None] * c
-                 + jnp.arange(c, dtype=jnp.int32)).reshape(ncells, kk)
-    cand_slot_atom = cand_slot[sorted_ids]
+
+    entry_np, slotoff_np = _lane_tables(cell_caps)
+    cand_slot = (stencil[:, jnp.asarray(entry_np)] * c
+                 + jnp.asarray(slotoff_np))                 # [ncells, kk]
+    cand_slot_atom = cand_slot[cell_sorted]
     not_self = cand_slot_atom != slot_of_sorted[:, None]
     skin = cell_list.cutoff - radial_cutoff
     ang_window = angular_cutoff + max(skin, 0.0)
     valid_ang = (d2 < ang_window * ang_window) & not_self
-    cand_sp_raw = sp_raw_win[sorted_ids]
+    # Species per lane is static (species-major window): broadcast row.
+    lane_sp_np = np.concatenate(
+        [np.full(27 * cs, layout.present[i], np.int32)
+         for i, cs in enumerate(cell_caps)])
+    cand_sp_raw = jnp.broadcast_to(jnp.asarray(lane_sp_np)[None, :], (n, kk))
 
     a_layout = ang_as_rad_layout(layout)
     bsel = _compact_blocked(n, cc, a_layout, valid_ang, valid_ang,
                             cand_sp_raw, cand_slot_atom, order,
                             slot_of_sorted, idx_n, max_occ)
-    return WindowSelection(ang=bsel, win_sp=win_sp,
-                           shift_planes=shift_planes, wrap_shift=wrap_shift)
+    return WindowSelection(ang=bsel, shift_planes=shift_planes,
+                           wrap_shift=wrap_shift, max_cell_sp=max_cell_sp)
 
 
 def window_features(cell_list: CellList, positions: Array, box: Array,
@@ -229,7 +317,8 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
     sel = wsel.ang
     n = positions.shape[0]
     ncells = cell_list.num_cells
-    c = cell_list.cell_capacity
+    cell_caps = layout.cell_caps
+    c = sum(cell_caps)
     cc = ncells * c
     a_layout = ang_as_rad_layout(layout)
 
@@ -247,16 +336,18 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
     slots = jnp.full((cc, 3), FAR, positions.dtype)
     slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
     planes = slots.T.reshape(3, ncells, c)
-    win = _make_stencil_window(cell_list.ncells, c)(planes)
-    candx = win[0] + wsel.shift_planes[0]
-    candy = win[1] + wsel.shift_planes[1]
-    candz = win[2] + wsel.shift_planes[2]
+    offs = np.cumsum((0,) + cell_caps)[:-1]
+    wins = []
+    for i, cs in enumerate(cell_caps):
+        sub = planes[:, :, int(offs[i]):int(offs[i]) + cs]
+        wins.append(_make_stencil_window(cell_list.ncells, cs)(sub))
+    win = jnp.concatenate(wins, axis=2) + wsel.shift_planes
     centers = slots.reshape(ncells, c, 3)
-    npres = len(layout.present)
     rad_slots = window_radial_aev(
-        candx, candy, candz, wsel.win_sp, centers,
-        basis.radial_cutoff, basis.radial_eta, basis.radial_rs, npres,
+        win[0], win[1], win[2], centers,
+        basis.radial_cutoff, basis.radial_eta, basis.radial_rs, cell_caps,
         basis.torchani, interpret=interpret)
+    npres = len(layout.present)
     num_r = basis.num_radial
     rad_flat = rad_slots.reshape(cc, npres * num_r)
     io = sel.inv_order if row_order is None else row_order

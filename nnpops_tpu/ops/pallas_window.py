@@ -58,26 +58,27 @@ SELF_STENCIL_INDEX = 13
 def make_window_radial_kernel(radial_cutoff: float,
                               radial_eta: Sequence[float],
                               radial_rs: Sequence[float],
-                              num_present: int,
-                              cell_capacity: int,
+                              cell_caps: Tuple[int, ...],
                               torchani: bool,
                               interpret: Optional[bool] = None):
     """Build the fused window-radial function for one configuration.
 
-    Returns ``fn(candx, candy, candz, win_sp, centers) -> [ncells, c, P*R]``
-    where
+    Returns ``fn(candx, candy, candz, centers) -> [ncells, c, P*R]`` where
 
-    * ``candx/y/z``: [ncells, kk] candidate coordinate planes (periodic
-      image shifts already applied; empty slots at FAR),
-    * ``win_sp``: [ncells, kk] int32 present-species index per candidate
-      (>= num_present for empty slots) — frozen per refresh,
-    * ``centers``: [ncells, c, 3] the cells' own slot positions,
+    * ``candx/y/z``: [ncells, kk] candidate coordinate planes in
+      SPECIES-MAJOR window order (present species s occupies lanes
+      [27*sum(cell_caps[:s]), 27*sum(cell_caps[:s+1])), entry-major within
+      its block; periodic image shifts already applied; empty slots FAR),
+    * ``centers``: [ncells, c, 3] the cells' own slot positions
+      (species-sub-blocked ranks, c = sum(cell_caps)),
     * output column ``p * R + q`` = unnormalized radial function q against
       present-species p (the caller places present species into the full
       [S, R] AEV layout).
 
-    Differentiable in (candx, candy, candz, centers) via a custom VJP
-    kernel (recompute strategy).
+    Species membership of every lane is static, so the per-species
+    reductions are contiguous lane slices — no species masks or win_sp
+    table anywhere. Differentiable in (candx, candy, candz, centers) via a
+    custom VJP kernel (recompute strategy).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
@@ -89,12 +90,24 @@ def make_window_radial_kernel(radial_cutoff: float,
         etas = etas * n_r
     if len(etas) != n_r:
         raise ValueError('radial_eta must have length 1 or len(radial_rs)')
-    c = int(cell_capacity)
+    cell_caps = tuple(int(x) for x in cell_caps)
+    c = sum(cell_caps)
     kk = 27 * c
-    npres = int(num_present)
+    npres = len(cell_caps)
     out_w = npres * n_r
-    self_base = SELF_STENCIL_INDEX * c
     scale = 0.25 if torchani else 1.0
+    # Species-major window bounds and the static self-lane of each center
+    # row: row k (species s, within-species rank rk) sits at its block's
+    # stencil entry 13, lane wb_s + 13 * c_s + rk.
+    offs = np.cumsum((0,) + cell_caps)[:-1]
+    wb = 27 * offs
+    sp_bounds = [(int(wb[s]), int(wb[s] + 27 * cell_caps[s]))
+                 for s in range(npres)]
+    # Row k in species block s self-matches at lane row + shift_s where
+    # shift_s = wb_s + 13 * c_s - off_s (piecewise-constant per block,
+    # built from iota in-kernel: Pallas kernels cannot capture arrays).
+    sp_shift = [int(wb[s] + SELF_STENCIL_INDEX * cell_caps[s] - offs[s])
+                for s in range(npres)]
 
     # Uniform-grid Gaussian ladder: for an evenly spaced rs grid with one
     # eta, e_{q+1}/e_q = exp(2 eta d u_q - eta d^2) factors into one
@@ -162,13 +175,14 @@ def make_window_radial_kernel(radial_cutoff: float,
         d2 = dx * dx + dy * dy + dz * dz
         lane = jax.lax.broadcasted_iota(jnp.int32, (c, kk), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (c, kk), 0)
-        valid = (d2 < rc * rc) & (lane != row + self_base)
+        self_lane = row + sp_shift[0]
+        for s in range(1, npres):
+            self_lane = jnp.where(row >= int(offs[s]), row + sp_shift[s],
+                                  self_lane)
+        valid = (d2 < rc * rc) & (lane != self_lane)
         r = jnp.sqrt(jnp.maximum(d2, 1e-12))
         fc = jnp.where(valid, 0.5 * jnp.cos(math.pi / rc * r) + 0.5, 0.0)
         return dx, dy, dz, r, fc, valid
-
-    def species_masks(win_sp):
-        return [(win_sp == s).astype(jnp.float32) for s in range(npres)]
 
     # Mosaic requires the last two block dims to be (8, 128)-aligned OR
     # equal to the array dims. The [ncells, kk] lane arrays are therefore
@@ -177,49 +191,45 @@ def make_window_radial_kernel(radial_cutoff: float,
     # Mosaic double-buffers the per-cell DMA across grid steps and VMEM
     # holds a single cell's [c, kk] working set.
 
-    def fwd_kernel(candx_ref, candy_ref, candz_ref, sp_ref, centers_ref,
-                   out_ref):
+    def fwd_kernel(candx_ref, candy_ref, candz_ref, centers_ref, out_ref):
         cx = candx_ref[0]                                 # [1, kk]
         cy = candy_ref[0]
         cz = candz_ref[0]
-        sp = sp_ref[0]
         ctr = centers_ref[0]                              # [c, 3]
         _, _, _, r, fc, _ = pair_geometry(cx, cy, cz, ctr)
-        masks = species_masks(sp)
-        w_s = [fc * m for m in masks]                     # [c, kk] per species
         cols = [None] * out_w
         for q, e in iter_radial_exps(r):
-            for s in range(npres):
+            we = fc * e                                   # [c, kk], one mult
+            for s, (b0, b1) in enumerate(sp_bounds):
                 cols[s * n_r + q] = scale * jnp.sum(
-                    w_s[s] * e, axis=1, keepdims=True)
+                    we[:, b0:b1], axis=1, keepdims=True)
         out_ref[0] = jnp.concatenate(cols, axis=1)        # [c, out_w]
 
-    def bwd_kernel(candx_ref, candy_ref, candz_ref, sp_ref, centers_ref,
+    def bwd_kernel(candx_ref, candy_ref, candz_ref, centers_ref,
                    g_ref, dcx_ref, dcy_ref, dcz_ref, dctr_ref):
         cx = candx_ref[0]
         cy = candy_ref[0]
         cz = candz_ref[0]
-        sp = sp_ref[0]
         ctr = centers_ref[0]
         gg = g_ref[0]                                     # [c, out_w]
         dx, dy, dz, r, fc, valid = pair_geometry(cx, cy, cz, ctr)
-        masks = species_masks(sp)
         dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
             math.pi / rc * r), 0.0)
-        # alpha = dE/dr per pair, accumulated species-blind via
+        # alpha = dE/dr per pair, accumulated over each species' static
+        # lane slice:
         #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
-        #   alpha = sum_s mask_s (dfc A_s - 2 fc B_s)
-        acc = [jnp.zeros_like(r) for _ in range(npres)]
-        bcc = [jnp.zeros_like(r) for _ in range(npres)]
+        #   alpha|slice_s = dfc A_s - 2 fc B_s
+        acc = [jnp.zeros((c, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
+        bcc = [jnp.zeros((c, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
         for q, e in iter_radial_exps(r):
             eu = e * (etas[q] * (r - rs_list[q]))
-            for s in range(npres):
+            for s, (b0, b1) in enumerate(sp_bounds):
                 gq = gg[:, s * n_r + q:s * n_r + q + 1]   # [c, 1]
-                acc[s] = acc[s] + gq * e
-                bcc[s] = bcc[s] + gq * eu
-        alpha = jnp.zeros_like(r)
-        for s in range(npres):
-            alpha = alpha + masks[s] * (dfc * acc[s] - 2.0 * fc * bcc[s])
+                acc[s] = acc[s] + gq * e[:, b0:b1]
+                bcc[s] = bcc[s] + gq * eu[:, b0:b1]
+        alpha = jnp.concatenate(
+            [dfc[:, b0:b1] * acc[s] - 2.0 * fc[:, b0:b1] * bcc[s]
+             for s, (b0, b1) in enumerate(sp_bounds)], axis=1)
         coef = (scale * alpha) / r                        # 0 on invalid pairs
         gx = coef * dx
         gy = coef * dy
@@ -247,46 +257,46 @@ def make_window_radial_kernel(radial_cutoff: float,
     def _mid(x):
         return x.reshape(x.shape[0], 1, x.shape[1])
 
-    def run_fwd(candx, candy, candz, win_sp, centers):
+    def run_fwd(candx, candy, candz, centers):
         ncells = candx.shape[0]
         return pl.pallas_call(
             fwd_kernel,
             grid=(ncells,),
-            in_specs=[lane_spec()] * 4 + [ctr_spec()],
+            in_specs=[lane_spec()] * 3 + [ctr_spec()],
             out_specs=out_spec(),
             out_shape=jax.ShapeDtypeStruct((ncells, c, out_w), jnp.float32),
             interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), _mid(win_sp), centers)
+        )(_mid(candx), _mid(candy), _mid(candz), centers)
 
-    def run_bwd(candx, candy, candz, win_sp, centers, g):
+    def run_bwd(candx, candy, candz, centers, g):
         ncells = candx.shape[0]
         dcx, dcy, dcz, dctr = pl.pallas_call(
             bwd_kernel,
             grid=(ncells,),
-            in_specs=[lane_spec()] * 4 + [ctr_spec(), out_spec()],
+            in_specs=[lane_spec()] * 3 + [ctr_spec(), out_spec()],
             out_specs=(lane_spec(), lane_spec(), lane_spec(), ctr_spec()),
             out_shape=(jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, c, 3), jnp.float32)),
             interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), _mid(win_sp), centers, g)
+        )(_mid(candx), _mid(candy), _mid(candz), centers, g)
         return (dcx.reshape(ncells, kk), dcy.reshape(ncells, kk),
                 dcz.reshape(ncells, kk), dctr)
 
     @jax.custom_vjp
-    def window_radial(candx, candy, candz, win_sp, centers):
-        return run_fwd(candx, candy, candz, win_sp, centers)
+    def window_radial(candx, candy, candz, centers):
+        return run_fwd(candx, candy, candz, centers)
 
-    def _fwd(candx, candy, candz, win_sp, centers):
-        out = run_fwd(candx, candy, candz, win_sp, centers)
-        return out, (candx, candy, candz, win_sp, centers)
+    def _fwd(candx, candy, candz, centers):
+        out = run_fwd(candx, candy, candz, centers)
+        return out, (candx, candy, candz, centers)
 
     def _bwd(res, g):
-        candx, candy, candz, win_sp, centers = res
-        dcx, dcy, dcz, dctr = run_bwd(candx, candy, candz, win_sp, centers,
+        candx, candy, candz, centers = res
+        dcx, dcy, dcz, dctr = run_bwd(candx, candy, candz, centers,
                                       g.astype(jnp.float32))
-        return dcx, dcy, dcz, None, dctr
+        return dcx, dcy, dcz, dctr
 
     window_radial.defvjp(_fwd, _bwd)
     return window_radial
@@ -296,18 +306,18 @@ _KERNEL_CACHE: dict = {}
 
 
 def window_radial_aev(candx: Array, candy: Array, candz: Array,
-                      win_sp: Array, centers: Array,
+                      centers: Array,
                       radial_cutoff: float, radial_eta: Sequence[float],
-                      radial_rs: Sequence[float], num_present: int,
+                      radial_rs: Sequence[float],
+                      cell_caps: Tuple[int, ...],
                       torchani: bool,
                       interpret: Optional[bool] = None) -> Array:
     """Cached-kernel entry: [ncells, c, P*R] radial AEV in slot space."""
-    c = centers.shape[1]
     key = (radial_cutoff, tuple(float(x) for x in radial_eta),
            tuple(float(x) for x in radial_rs),
-           num_present, c, torchani, interpret)
+           tuple(int(x) for x in cell_caps), torchani, interpret)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = make_window_radial_kernel(
-            radial_cutoff, radial_eta, radial_rs, num_present, c, torchani,
+            radial_cutoff, radial_eta, radial_rs, cell_caps, torchani,
             interpret=interpret)
-    return _KERNEL_CACHE[key](candx, candy, candz, win_sp, centers)
+    return _KERNEL_CACHE[key](candx, candy, candz, centers)

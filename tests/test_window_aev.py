@@ -25,8 +25,7 @@ def setup():
                                       impl='pallas')
     assert window.aev_impl == 'window'        # box is big enough for cells
     params = init_ani_params(jax.random.PRNGKey(0), basis)
-    cl = CellList.create(water.box, basis.radial_cutoff,
-                         capacity=pallas.blocked_layout.rad_total)
+    cl = window.create_cell_list(water.box)
     return water, window, pallas, params, cl
 
 
@@ -67,8 +66,7 @@ def test_window_sticky_selection_reuse(setup):
     window = ANIModel.from_atomic_numbers(
         water.atomic_numbers, window.basis).with_blocked_layout(
             water.positions, water.box, impl='window', skin=skin)
-    cl = CellList.create(water.box, window.basis.radial_cutoff + skin,
-                         capacity=window.blocked_layout.rad_total)
+    cl = window.create_cell_list(water.box, skin=skin)
     box = jnp.asarray(water.box)
     pos = jnp.asarray(water.positions)
     sel = window.select(pos, box, cl)
@@ -89,13 +87,15 @@ def test_window_sticky_selection_reuse(setup):
 
 def test_window_overflow_detected(setup):
     water, window, pallas, params, _ = setup
-    tiny = CellList.create(water.box, window.basis.radial_cutoff,
-                           capacity=window.blocked_layout.rad_total,
-                           cell_capacity=8)
+    # Shrink the planned per-(cell, species) capacities below the true
+    # occupancy; the soft-failure contract must detect the overflow.
+    small = dataclasses.replace(window.blocked_layout, cell_caps=(4, 4))
+    tiny_model = dataclasses.replace(window, blocked_layout=small)
+    tiny = tiny_model.create_cell_list(water.box)
     box = jnp.asarray(water.box)
     pos = jnp.asarray(water.positions)
     with pytest.raises(RuntimeError, match='overflow'):
-        window.check_overflow(pos, box, tiny)
+        tiny_model.check_overflow(pos, box, tiny)
 
 
 def test_window_requires_cells():
