@@ -132,7 +132,8 @@ class ANIModel:
             else:
                 from ..neighbors.window import plan_window_cells
                 present = tuple(int(s) for s in np.unique(self.species_array))
-                cell_grid, cell_caps = plan_window_cells(
+                (cell_grid, cell_caps, small_caps,
+                 num_big) = plan_window_cells(
                     positions, box, self.species_array, present,
                     self.basis.radial_cutoff + skin, margin=margin)
                 if cell_grid is None:
@@ -144,7 +145,9 @@ class ANIModel:
             margin=margin, lane_multiple=lane_multiple)
         if cell_caps is not None:
             layout = dataclasses.replace(layout, cell_caps=cell_caps,
-                                         cell_grid=cell_grid)
+                                         cell_grid=cell_grid,
+                                         small_caps=small_caps,
+                                         num_big_cells=num_big)
         return dataclasses.replace(self, aev_impl=impl,
                                    blocked_layout=layout)
 
@@ -274,9 +277,12 @@ class ANIModel:
             wsel = self.select(positions, box, cell_list)
             # Window radial is capacity-free; the remaining capacities are
             # the per-(cell, species) occupancy and the angular lane caps.
-            return {'max_neighbors': wsel.ang.max_rad,
-                    'max_cell_occupancy': wsel.max_cell_sp,
-                    'max_angular': wsel.ang.max_ang}
+            counts = {'max_neighbors': wsel.ang.max_rad,
+                      'max_cell_occupancy': wsel.max_cell_sp,
+                      'max_angular': wsel.ang.max_ang}
+            if self.blocked_layout.num_big_cells is not None:
+                counts['num_big_cells'] = wsel.n_big_true
+            return counts
         if self.aev_impl in ('blocked', 'pallas'):
             bsel = self.select(positions, box, cell_list)
             return {'max_neighbors': bsel.max_rad,
@@ -310,6 +316,8 @@ class ANIModel:
             caps = {'max_neighbors': np.asarray(rad_caps),
                     'max_cell_occupancy': cell_cap,
                     'max_angular': np.asarray(self.blocked_layout.ang_caps)}
+            if 'num_big_cells' in raw:
+                caps['num_big_cells'] = self.blocked_layout.num_big_cells
             bad = {k: (counts[k].tolist(), np.asarray(caps[k]).tolist())
                    for k in counts if np.any(counts[k] > caps[k])}
         else:

@@ -60,6 +60,12 @@ class BlockedLayout:
     # sum(cell_caps[:i+1])) of its cell) and the planned cell grid.
     cell_caps: Optional[Tuple[int, ...]] = None
     cell_grid: Optional[Tuple[int, int, int]] = None
+    # Cell-occupancy bucketing: cells whose per-species occupancy fits
+    # small_caps run the radial kernel with packed center rows; at most
+    # num_big_cells cells may exceed it (soft-failure contract otherwise).
+    # None disables the split (every cell processed at cell_caps rows).
+    small_caps: Optional[Tuple[int, ...]] = None
+    num_big_cells: Optional[int] = None
 
     def __post_init__(self):
         if not (len(self.present) == len(self.rad_caps) == len(self.ang_caps)):

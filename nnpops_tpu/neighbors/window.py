@@ -64,20 +64,31 @@ class WindowSelection(NamedTuple):
     shift_planes: Array    # [3, ncells, kk] periodic image shifts
     wrap_shift: Array      # [N, 3] frozen box wrap per atom
     max_cell_sp: Array     # [npres] true max per-(cell, species) occupancy
+    # Cell-occupancy bucketing (frozen per refresh): cells permuted so the
+    # (at most num_big_cells) high-occupancy cells come first; identity
+    # permutation when bucketing is disabled.
+    cell_perm: Array       # [ncells] int32
+    n_big_true: Array      # scalar int32 — true big-cell count
 
 
 def plan_window_cells(positions, box, species, present,
-                      cutoff: float, margin: float = 1.15,
-                      ) -> Tuple[Optional[Tuple[int, int, int]],
-                                 Optional[Tuple[int, ...]]]:
-    """Host-side planner: (cell_grid, per-present-species cell capacities)
-    for species-sub-blocked window slots, or (None, None) when the box is
-    under 3 cells wide (window mode impossible)."""
+                      cutoff: float, margin: float = 1.15):
+    """Host-side planner: (cell_grid, cell_caps, small_caps, num_big_cells)
+    for species-sub-blocked window slots, or all-None when the box is under
+    3 cells wide (window mode impossible).
+
+    ``small_caps``/``num_big_cells`` implement cell-occupancy bucketing:
+    most cells sit near the MEAN occupancy while capacities must hold the
+    MAX, so the radial kernel runs sparse cells with packed center rows
+    (~35% fewer row slots at water density). Cells exceeding small_caps go
+    to the big class — at most num_big_cells of them (observed count x1.5
+    headroom; beyond it is a reported soft failure like every other
+    capacity)."""
     box_np = np.asarray(box, np.float64)
     widths = _perpendicular_widths(box_np)
     nc = np.maximum(np.floor(widths / cutoff).astype(int), 1)
     if (nc < 3).any():
-        return None, None
+        return None, None, None, None
     nx, ny, nz = (int(x) for x in nc)
     ncells = nx * ny * nz
     inv = np.linalg.inv(box_np)
@@ -94,7 +105,30 @@ def plan_window_cells(positions, box, species, present,
     caps = [int(np.ceil(m * margin)) + 1 for m in counts.max(axis=0)]
     pad = (-sum(caps)) % 8          # sublane-align the total cell block
     caps[-1] += pad
-    return (nx, ny, nz), tuple(caps)
+    caps = tuple(caps)
+
+    # Pick the small-class capacities minimizing the kernel's expected
+    # center rows (VPU rows pad to 8-multiples internally, so evaluate the
+    # padded size): big cells run at full caps, the rest at small caps.
+    c_full = -(-sum(caps) // 8) * 8
+    best = (c_full, None, None)
+    for pct in (50, 60, 70, 80, 90):
+        small = tuple(
+            min(int(np.ceil(np.percentile(counts[:, s], pct))) + 1, caps[s])
+            for s in range(npres))
+        frac_big = float((counts > np.asarray(small)).any(axis=1).mean())
+        c_small = -(-sum(small) // 8) * 8
+        cost = frac_big * c_full + (1.0 - frac_big) * c_small
+        if cost < best[0] - 0.5:
+            best = (cost, small, frac_big)
+    _, small, frac_big = best
+    if small is None:
+        return (nx, ny, nz), caps, None, None   # bucketing not worth it
+    n_big = int(np.ceil(frac_big * ncells * 1.5)) + 8
+    n_big = min(-(-n_big // 8) * 8, ncells)
+    if n_big >= ncells * 3 // 5:
+        return (nx, ny, nz), caps, None, None
+    return (nx, ny, nz), caps, small, n_big
 
 
 @functools.lru_cache(maxsize=16)
@@ -254,9 +288,21 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
 
     seg_counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), key,
                                      num_segments=ncells * npres)
-    max_cell_sp = jnp.max(seg_counts.reshape(ncells, npres), axis=0)
-    occupancy = jnp.sum(seg_counts.reshape(ncells, npres), axis=1)
+    cell_sp_counts = seg_counts.reshape(ncells, npres)
+    max_cell_sp = jnp.max(cell_sp_counts, axis=0)
+    occupancy = jnp.sum(cell_sp_counts, axis=1)
     max_occ = jnp.max(occupancy)
+
+    # Cell-occupancy classes: big cells (any species beyond small_caps)
+    # sort to the front of the frozen permutation.
+    if layout.small_caps is not None:
+        is_big = jnp.any(cell_sp_counts > jnp.asarray(layout.small_caps),
+                         axis=1)
+        cell_perm = jnp.argsort(~is_big, stable=True).astype(jnp.int32)
+        n_big_true = jnp.sum(is_big.astype(jnp.int32))
+    else:
+        cell_perm = jnp.arange(ncells, dtype=jnp.int32)
+        n_big_true = jnp.zeros((), jnp.int32)
 
     p_w = positions - wrap_shift
     pos_sorted = p_w[order]
@@ -303,7 +349,8 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
                             cand_sp_raw, cand_slot_atom, order,
                             slot_of_sorted, idx_n, max_occ)
     return WindowSelection(ang=bsel, shift_planes=shift_planes,
-                           wrap_shift=wrap_shift, max_cell_sp=max_cell_sp)
+                           wrap_shift=wrap_shift, max_cell_sp=max_cell_sp,
+                           cell_perm=cell_perm, n_big_true=n_big_true)
 
 
 def window_features(cell_list: CellList, positions: Array, box: Array,
@@ -343,12 +390,50 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
         wins.append(_make_stencil_window(cell_list.ncells, cs)(sub))
     win = jnp.concatenate(wins, axis=2) + wsel.shift_planes
     centers = slots.reshape(ncells, c, 3)
-    rad_slots = window_radial_aev(
-        win[0], win[1], win[2], centers,
-        basis.radial_cutoff, basis.radial_eta, basis.radial_rs, cell_caps,
-        basis.torchani, interpret=interpret)
     npres = len(layout.present)
     num_r = basis.num_radial
+    if layout.small_caps is None or layout.num_big_cells is None:
+        rad_slots = window_radial_aev(
+            win[0], win[1], win[2], centers,
+            basis.radial_cutoff, basis.radial_eta, basis.radial_rs,
+            cell_caps, basis.torchani, interpret=interpret)
+    else:
+        # Cell-occupancy bucketing: big cells (frozen permutation front)
+        # run at full center rows, the rest with species-packed rows.
+        perm = wsel.cell_perm
+        nb = layout.num_big_cells
+        sc = layout.small_caps
+        winp = win[:, perm]                    # [3, ncells, kk] coarse
+        ctrp = centers[perm]
+        rad_a = window_radial_aev(
+            winp[0, :nb], winp[1, :nb], winp[2, :nb], ctrp[:nb],
+            basis.radial_cutoff, basis.radial_eta, basis.radial_rs,
+            cell_caps, basis.torchani, interpret=interpret)
+        ctr_small = jnp.concatenate(
+            [ctrp[nb:, int(offs[i]):int(offs[i]) + sc[i]]
+             for i in range(npres)], axis=1)
+        rad_b = window_radial_aev(
+            winp[0, nb:], winp[1, nb:], winp[2, nb:], ctr_small,
+            basis.radial_cutoff, basis.radial_eta, basis.radial_rs,
+            cell_caps, basis.torchani, interpret=interpret,
+            center_caps=sc)
+        # Re-expand packed small rows to the full per-cell slot layout.
+        sc_offs = np.cumsum((0,) + tuple(sc))[:-1]
+        ns = ncells - nb
+        pieces = []
+        for i in range(npres):
+            blk = rad_b[:, int(sc_offs[i]):int(sc_offs[i]) + sc[i]]
+            padr = cell_caps[i] - sc[i]
+            if padr:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((ns, padr, blk.shape[2]), blk.dtype)],
+                    axis=1)
+            pieces.append(blk)
+        rad_b_full = jnp.concatenate(pieces, axis=1)   # [ns, c, out_w]
+        rad_perm = jnp.concatenate([rad_a, rad_b_full], axis=0)
+        inv_perm = jnp.zeros((ncells,), jnp.int32).at[perm].set(
+            jnp.arange(ncells, dtype=jnp.int32))
+        rad_slots = rad_perm[inv_perm]                 # coarse row gather
     rad_flat = rad_slots.reshape(cc, npres * num_r)
     io = sel.inv_order if row_order is None else row_order
     row_slots = jnp.minimum(sel.slot_of_sorted[io], cc - 1)

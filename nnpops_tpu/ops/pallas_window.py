@@ -60,7 +60,8 @@ def make_window_radial_kernel(radial_cutoff: float,
                               radial_rs: Sequence[float],
                               cell_caps: Tuple[int, ...],
                               torchani: bool,
-                              interpret: Optional[bool] = None):
+                              interpret: Optional[bool] = None,
+                              center_caps: Optional[Tuple[int, ...]] = None):
     """Build the fused window-radial function for one configuration.
 
     Returns ``fn(candx, candy, candz, centers) -> [ncells, c, P*R]`` where
@@ -79,6 +80,14 @@ def make_window_radial_kernel(radial_cutoff: float,
     reductions are contiguous lane slices — no species masks or win_sp
     table anywhere. Differentiable in (candx, candy, candz, centers) via a
     custom VJP kernel (recompute strategy).
+
+    ``center_caps``: per-species CENTER-row capacities <= cell_caps for the
+    low-occupancy cell class (cell-occupancy bucketing): centers arrive
+    packed [ncells, sum(center_caps), 3] (species sub-blocks tightened to
+    center_caps) while the candidate window keeps the full cell_caps slot
+    structure — mean occupancy is ~half the worst-case capacity, so
+    processing sparse cells at tight row counts cuts the kernel's row
+    padding ~35%.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
@@ -103,10 +112,21 @@ def make_window_radial_kernel(radial_cutoff: float,
     wb = 27 * offs
     sp_bounds = [(int(wb[s]), int(wb[s] + 27 * cell_caps[s]))
                  for s in range(npres)]
+    # Center-row packing (cell-occupancy bucketing): species s contributes
+    # ctr_caps[s] center rows; its self window lane still uses the FULL
+    # cell_caps slot geometry (wb_s + 13 * c_s + within-species rank).
+    ctr_caps = (tuple(int(x) for x in center_caps)
+                if center_caps is not None else cell_caps)
+    if len(ctr_caps) != npres or any(
+            a > b for a, b in zip(ctr_caps, cell_caps)):
+        raise ValueError('center_caps must align with and not exceed '
+                         'cell_caps')
+    c_ctr = sum(ctr_caps)
+    ctr_offs = np.cumsum((0,) + ctr_caps)[:-1]
     # Row k in species block s self-matches at lane row + shift_s where
-    # shift_s = wb_s + 13 * c_s - off_s (piecewise-constant per block,
+    # shift_s = wb_s + 13 * c_s - ctr_off_s (piecewise-constant per block,
     # built from iota in-kernel: Pallas kernels cannot capture arrays).
-    sp_shift = [int(wb[s] + SELF_STENCIL_INDEX * cell_caps[s] - offs[s])
+    sp_shift = [int(wb[s] + SELF_STENCIL_INDEX * cell_caps[s] - ctr_offs[s])
                 for s in range(npres)]
 
     # Uniform-grid Gaussian ladder: for an evenly spaced rs grid with one
@@ -173,12 +193,12 @@ def make_window_radial_kernel(radial_cutoff: float,
         dy = candy - centers[:, 1:2]
         dz = candz - centers[:, 2:3]
         d2 = dx * dx + dy * dy + dz * dz
-        lane = jax.lax.broadcasted_iota(jnp.int32, (c, kk), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (c, kk), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (c_ctr, kk), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (c_ctr, kk), 0)
         self_lane = row + sp_shift[0]
         for s in range(1, npres):
-            self_lane = jnp.where(row >= int(offs[s]), row + sp_shift[s],
-                                  self_lane)
+            self_lane = jnp.where(row >= int(ctr_offs[s]),
+                                  row + sp_shift[s], self_lane)
         valid = (d2 < rc * rc) & (lane != self_lane)
         r = jnp.sqrt(jnp.maximum(d2, 1e-12))
         fc = jnp.where(valid, 0.5 * jnp.cos(math.pi / rc * r) + 0.5, 0.0)
@@ -219,8 +239,8 @@ def make_window_radial_kernel(radial_cutoff: float,
         # lane slice:
         #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
         #   alpha|slice_s = dfc A_s - 2 fc B_s
-        acc = [jnp.zeros((c, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
-        bcc = [jnp.zeros((c, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
+        acc = [jnp.zeros((c_ctr, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
+        bcc = [jnp.zeros((c_ctr, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
         for q, e in iter_radial_exps(r):
             eu = e * (etas[q] * (r - rs_list[q]))
             for s, (b0, b1) in enumerate(sp_bounds):
@@ -247,11 +267,11 @@ def make_window_radial_kernel(radial_cutoff: float,
                             memory_space=pltpu.VMEM)
 
     def ctr_spec():
-        return pl.BlockSpec((1, c, 3), lambda i: (i, 0, 0),
+        return pl.BlockSpec((1, c_ctr, 3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def out_spec():
-        return pl.BlockSpec((1, c, out_w), lambda i: (i, 0, 0),
+        return pl.BlockSpec((1, c_ctr, out_w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def _mid(x):
@@ -264,7 +284,8 @@ def make_window_radial_kernel(radial_cutoff: float,
             grid=(ncells,),
             in_specs=[lane_spec()] * 3 + [ctr_spec()],
             out_specs=out_spec(),
-            out_shape=jax.ShapeDtypeStruct((ncells, c, out_w), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ncells, c_ctr, out_w),
+                                           jnp.float32),
             interpret=interpret,
         )(_mid(candx), _mid(candy), _mid(candz), centers)
 
@@ -278,7 +299,8 @@ def make_window_radial_kernel(radial_cutoff: float,
             out_shape=(jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, c, 3), jnp.float32)),
+                       jax.ShapeDtypeStruct((ncells, c_ctr, 3),
+                                            jnp.float32)),
             interpret=interpret,
         )(_mid(candx), _mid(candy), _mid(candz), centers, g)
         return (dcx.reshape(ncells, kk), dcy.reshape(ncells, kk),
@@ -311,13 +333,16 @@ def window_radial_aev(candx: Array, candy: Array, candz: Array,
                       radial_rs: Sequence[float],
                       cell_caps: Tuple[int, ...],
                       torchani: bool,
-                      interpret: Optional[bool] = None) -> Array:
-    """Cached-kernel entry: [ncells, c, P*R] radial AEV in slot space."""
+                      interpret: Optional[bool] = None,
+                      center_caps: Optional[Tuple[int, ...]] = None) -> Array:
+    """Cached-kernel entry: [ncells, c_ctr, P*R] radial AEV in (packed)
+    slot space."""
     key = (radial_cutoff, tuple(float(x) for x in radial_eta),
            tuple(float(x) for x in radial_rs),
-           tuple(int(x) for x in cell_caps), torchani, interpret)
+           tuple(int(x) for x in cell_caps), torchani, interpret,
+           tuple(int(x) for x in center_caps) if center_caps else None)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = make_window_radial_kernel(
             radial_cutoff, radial_eta, radial_rs, cell_caps, torchani,
-            interpret=interpret)
+            interpret=interpret, center_caps=center_caps)
     return _KERNEL_CACHE[key](candx, candy, candz, centers)

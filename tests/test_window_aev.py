@@ -98,6 +98,28 @@ def test_window_overflow_detected(setup):
         tiny_model.check_overflow(pos, box, tiny)
 
 
+def test_window_cell_bucketing_parity(setup):
+    """Forcing the two-class (big/small occupancy) kernel split changes
+    nothing: energies and forces match the single-call window path."""
+    water, window, pallas, params, cl = setup
+    small_caps = tuple(max(c - 4, 1)
+                       for c in window.blocked_layout.cell_caps)
+    bucketed_layout = dataclasses.replace(
+        window.blocked_layout, small_caps=small_caps,
+        num_big_cells=cl.num_cells - 8)    # leave some cells in each class
+    bucketed = dataclasses.replace(window, blocked_layout=bucketed_layout)
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    # The forced capacities must actually hold (otherwise the soft-failure
+    # contract fires and the comparison is meaningless).
+    bucketed.check_overflow(pos, box, cl)
+    e1, f1 = window.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = bucketed.energy_and_forces_fused(params, pos, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-6)
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=1e-5, atol=1e-6 * scale)
+
+
 def test_window_requires_cells():
     water = make_water_box(8, seed=1)         # box far below 3 cells
     basis = ANIBasis.ani2x()
