@@ -144,10 +144,16 @@ class ANIModel:
             self.basis.angular_cutoff + skin, self.basis.num_species,
             margin=margin, lane_multiple=lane_multiple)
         if cell_caps is not None:
+            from ..neighbors.window import plan_angular_tiers
+            ang_small, ang_big_rows = plan_angular_tiers(
+                positions, box, self.species_array, layout.present,
+                self.basis.angular_cutoff + skin, layout.ang_caps)
             layout = dataclasses.replace(layout, cell_caps=cell_caps,
                                          cell_grid=cell_grid,
                                          small_caps=small_caps,
-                                         num_big_cells=num_big)
+                                         num_big_cells=num_big,
+                                         ang_small_caps=ang_small,
+                                         ang_big_rows=ang_big_rows)
         return dataclasses.replace(self, aev_impl=impl,
                                    blocked_layout=layout)
 
@@ -217,10 +223,15 @@ class ANIModel:
         WindowSelection)."""
         if self.aev_impl == 'window':
             from ..neighbors.window import select_window
+            g = self.grouping
+            present_counts = tuple(g.counts[s]
+                                   for s in self.blocked_layout.present)
             return select_window(cell_list, positions, box,
                                  self.species_array, self.blocked_layout,
                                  self.basis.radial_cutoff,
-                                 self.basis.angular_cutoff)
+                                 self.basis.angular_cutoff,
+                                 grouping_order=np.asarray(g.order),
+                                 present_counts=present_counts)
         if self.aev_impl in ('blocked', 'pallas'):
             from ..neighbors.blocked import select_blocked
             return select_blocked(cell_list, positions, box,
@@ -282,6 +293,8 @@ class ANIModel:
                       'max_angular': wsel.ang.max_ang}
             if self.blocked_layout.num_big_cells is not None:
                 counts['num_big_cells'] = wsel.n_big_true
+            if wsel.tier is not None:
+                counts['ang_big_rows'] = wsel.tier.big_counts
             return counts
         if self.aev_impl in ('blocked', 'pallas'):
             bsel = self.select(positions, box, cell_list)
@@ -318,6 +331,9 @@ class ANIModel:
                     'max_angular': np.asarray(self.blocked_layout.ang_caps)}
             if 'num_big_cells' in raw:
                 caps['num_big_cells'] = self.blocked_layout.num_big_cells
+            if 'ang_big_rows' in raw:
+                caps['ang_big_rows'] = np.asarray(
+                    self.blocked_layout.ang_big_rows)
             bad = {k: (counts[k].tolist(), np.asarray(caps[k]).tolist())
                    for k in counts if np.any(counts[k] > caps[k])}
         else:

@@ -66,6 +66,13 @@ class BlockedLayout:
     # None disables the split (every cell processed at cell_caps rows).
     small_caps: Optional[Tuple[int, ...]] = None
     num_big_cells: Optional[int] = None
+    # Angular row tiering (window mode): rows whose per-species angular
+    # counts fit ang_small_caps run the angular kernel with the (much
+    # smaller) small triple table and gather only the leading small lanes;
+    # at most ang_big_rows[i] rows of center-species present[i] may exceed
+    # it. None disables tiering.
+    ang_small_caps: Optional[Tuple[int, ...]] = None
+    ang_big_rows: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         if not (len(self.present) == len(self.rad_caps) == len(self.ang_caps)):

@@ -53,6 +53,25 @@ from .cell_list import CellList, _perpendicular_widths
 Array = jnp.ndarray
 
 
+class AngTier(NamedTuple):
+    """Frozen angular row-tier bundle (see select_window): rows sorted
+    big-first within each species block; big rows gather all angular lanes,
+    small rows only the leading ang_small_caps lanes per species block.
+    Mirror indices are pre-translated into the packed two-tier flat space
+    so the joint gather's adjoint stays a frozen gather."""
+    row_order: Array       # [N] tiered row -> cell-sorted atom index
+    idx_big: Array         # [NB, Kat] neighbor slot ids
+    mask_big: Array        # [NB, Kat]
+    mir_big: Array         # [NB, Kat] packed-space mirror
+    slot_rows_big: Array   # [NB]
+    idx_small: Array       # [NS, Ksm]
+    mask_small: Array      # [NS, Ksm]
+    mir_small: Array       # [NS, Ksm]
+    slot_rows_small: Array  # [NS]
+    big_counts: Array      # [npres] true big-row counts (soft failure)
+    concat_pos: Array      # [N] tiered row -> position in [big; small]
+
+
 class WindowSelection(NamedTuple):
     """Frozen window-mode selection (refresh-scoped, like BlockedSelection).
 
@@ -69,6 +88,8 @@ class WindowSelection(NamedTuple):
     # permutation when bucketing is disabled.
     cell_perm: Array       # [ncells] int32
     n_big_true: Array      # scalar int32 — true big-cell count
+    # Angular row tiering (None when disabled or no grouping_order given).
+    tier: Optional[AngTier] = None
 
 
 def plan_window_cells(positions, box, species, present,
@@ -131,6 +152,107 @@ def plan_window_cells(positions, box, species, present,
     return (nx, ny, nz), caps, small, n_big
 
 
+def _num_triples(caps) -> int:
+    """Triple-table size for per-species angular capacities (same
+    enumeration as aev_blocked.build_triple_tables)."""
+    t = 0
+    for i, ci in enumerate(caps):
+        t += ci * (ci - 1) // 2
+        for cj in caps[i + 1:]:
+            t += ci * cj
+    return t
+
+
+def plan_angular_tiers(positions, box, species, present, ang_window: float,
+                       ang_caps: Tuple[int, ...]):
+    """Host-side planner for angular row tiering: (ang_small_caps,
+    ang_big_rows) or (None, None) when a split doesn't pay.
+
+    The angular kernel's cost is rows x triple-table size; capacities hold
+    the MAX per-species neighbor count while typical rows sit near the
+    mean, so the full table wastes ~5x. Rows fitting a smaller capacity
+    run against the (quadratically smaller) small table; the planner picks
+    the small caps minimizing expected rows x triples."""
+    positions = np.asarray(positions, np.float64)
+    species = np.asarray(species)
+    n = len(positions)
+    npres = len(present)
+    pres_index = {s: i for i, s in enumerate(present)}
+    sp_idx = np.array([pres_index[int(s)] for s in species])
+    box_np = np.asarray(box, np.float64) if box is not None else None
+    # Cell-binned per-atom per-species neighbor counts within ang_window.
+    counts = np.zeros((n, npres), np.int64)
+    w2 = float(ang_window) ** 2
+    if box_np is not None:
+        widths = _perpendicular_widths(box_np)
+        nc = np.maximum((widths // ang_window).astype(int), 1)
+        if (nc < 3).any():
+            nc = np.array([1, 1, 1])
+    else:
+        nc = np.array([1, 1, 1])
+    ncell = int(np.prod(nc))
+    if ncell == 1:
+        cells = {0: np.arange(n)}
+        stencil = {0: [0]}
+    else:
+        inv = np.linalg.inv(box_np)
+        frac = positions @ inv
+        frac -= np.floor(frac)
+        c3 = np.minimum((frac * nc).astype(int), nc - 1)
+        cid = (c3[:, 0] * nc[1] + c3[:, 1]) * nc[2] + c3[:, 2]
+        order = np.argsort(cid, kind='stable')
+        bounds = np.searchsorted(cid[order], np.arange(ncell + 1))
+        cells = {c: order[bounds[c]:bounds[c + 1]] for c in range(ncell)}
+        stencil = {}
+        for c in range(ncell):
+            cz = c % nc[2]
+            cy = (c // nc[2]) % nc[1]
+            cx = c // (nc[1] * nc[2])
+            ids = set()
+            for ox in (-1, 0, 1):
+                for oy in (-1, 0, 1):
+                    for oz in (-1, 0, 1):
+                        ids.add((((cx + ox) % nc[0]) * nc[1]
+                                 + (cy + oy) % nc[1]) * nc[2]
+                                + (cz + oz) % nc[2])
+            stencil[c] = sorted(ids)
+    for c, atoms in cells.items():
+        if len(atoms) == 0:
+            continue
+        cand = np.concatenate([cells[q] for q in stencil[c]])
+        delta = positions[cand][None, :, :] - positions[atoms][:, None, :]
+        if box_np is not None:
+            delta = delta - np.round(delta[..., 2:3] / box_np[2, 2]) * box_np[2]
+            delta = delta - np.round(delta[..., 1:2] / box_np[1, 1]) * box_np[1]
+            delta = delta - np.round(delta[..., 0:1] / box_np[0, 0]) * box_np[0]
+        d2 = (delta ** 2).sum(-1)
+        d2[atoms[:, None] == cand[None, :]] = np.inf
+        within = d2 < w2
+        for s in range(npres):
+            counts[atoms, s] = within[:, sp_idx[cand] == s].sum(1)
+
+    t_full = _num_triples(ang_caps)
+    best = (float(t_full), None, None)
+    for pct in (50, 60, 70, 80, 90):
+        small = tuple(
+            min(int(np.ceil(np.percentile(counts[:, s], pct))) + 1,
+                ang_caps[s]) for s in range(npres))
+        is_big = (counts > np.asarray(small)).any(axis=1)
+        frac_big = float(is_big.mean())
+        cost = frac_big * t_full + (1 - frac_big) * _num_triples(small)
+        if cost < best[0] * 0.95:
+            best = (cost, small, is_big)
+    _, small, is_big = best
+    if small is None:
+        return None, None
+    big_rows = []
+    for i in range(npres):
+        cnt = int(is_big[sp_idx == i].sum())
+        cap = min(int(np.ceil(cnt * 1.5)) + 8, int((sp_idx == i).sum()))
+        big_rows.append(cap)
+    return small, tuple(big_rows)
+
+
 @functools.lru_cache(maxsize=16)
 def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
     """Static per-cell-grid tables: wrap factors [ncells, 27, 3], the
@@ -155,6 +277,147 @@ def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
     ii = np.arange(27)
     rev_flat = (stencil[:, ::-1] * 27 + ii[None, :]).astype(np.int32)
     return f27, stencil, rev_flat
+
+
+@functools.lru_cache(maxsize=32)
+def _tier_tables(present_counts: Tuple[int, ...], ang_caps: Tuple[int, ...],
+                 small_caps: Tuple[int, ...], big_caps: Tuple[int, ...]):
+    """Static tier-row-space tables (see AngTier): rows are species blocks
+    (sizes present_counts), each split [big capacity | small]; the packed
+    flat space is [all big rows x Kat | all small rows x Ksm]."""
+    n = sum(present_counts)
+    kat = sum(ang_caps)
+    starts = np.cumsum((0,) + present_counts)[:-1]
+    rows_big = np.concatenate(
+        [st + np.arange(bc) for st, bc in zip(starts, big_caps)]
+        or [np.zeros(0, np.int64)]).astype(np.int32)
+    rows_small = np.concatenate(
+        [st + bc + np.arange(cnt - bc)
+         for st, bc, cnt in zip(starts, big_caps, present_counts)]
+        or [np.zeros(0, np.int64)]).astype(np.int32)
+    bigpos = np.full(n, -1, np.int32)
+    bigpos[rows_big] = np.arange(len(rows_big), dtype=np.int32)
+    smallpos = np.full(n, -1, np.int32)
+    smallpos[rows_small] = np.arange(len(rows_small), dtype=np.int32)
+    ang_offs = np.cumsum((0,) + ang_caps)[:-1]
+    small_cols = np.concatenate(
+        [o + np.arange(sc) for o, sc in zip(ang_offs, small_caps)]
+    ).astype(np.int32)
+    lane_map = np.full(kat, -1, np.int32)
+    lane_map[small_cols] = np.arange(len(small_cols), dtype=np.int32)
+    concat_pos = np.empty(n, np.int32)
+    concat_pos[rows_big] = np.arange(len(rows_big), dtype=np.int32)
+    concat_pos[rows_small] = (len(rows_big)
+                              + np.arange(len(rows_small), dtype=np.int32))
+    return (rows_big, rows_small, bigpos, smallpos, small_cols, lane_map,
+            concat_pos)
+
+
+def _build_tier(bsel: BlockedSelection, layout: BlockedLayout,
+                grouping_order: np.ndarray,
+                present_counts: Tuple[int, ...], n: int) -> AngTier:
+    """Traced per-refresh tier construction (see AngTier docstring)."""
+    a_caps = layout.ang_caps
+    small = layout.ang_small_caps
+    bigc = layout.ang_big_rows
+    kat = sum(a_caps)
+    ang_offs = np.cumsum((0,) + a_caps)[:-1]
+    (rows_big_np, rows_small_np, bigpos_np, smallpos_np, small_cols_np,
+     lane_map_np, concat_pos_np) = _tier_tables(present_counts, a_caps,
+                                                small, bigc)
+    nb_tot = len(rows_big_np)
+    ksm = len(small_cols_np)
+
+    io_g = bsel.inv_order[jnp.asarray(np.asarray(grouping_order, np.int32))]
+    mask_g = bsel.rad_mask[io_g]                       # [N, Kat]
+    is_big = jnp.zeros((n,), bool)
+    for i in range(len(a_caps)):
+        cnt = jnp.sum(mask_g[:, int(ang_offs[i]):int(ang_offs[i]) + a_caps[i]],
+                      axis=1)
+        is_big = is_big | (cnt > small[i])
+    # Stable big-first sort within each (static) species block.
+    starts = np.cumsum((0,) + present_counts)[:-1]
+    parts = []
+    big_counts = []
+    for st, cnt in zip(starts, present_counts):
+        blk = is_big[int(st):int(st) + cnt]
+        parts.append(int(st)
+                     + jnp.argsort(~blk, stable=True).astype(jnp.int32))
+        big_counts.append(jnp.sum(blk.astype(jnp.int32)))
+    perm = jnp.concatenate(parts)
+    io_t = io_g[perm]                                  # tiered row -> sorted
+    inv_t = jnp.zeros((n,), jnp.int32).at[io_t].set(
+        jnp.arange(n, dtype=jnp.int32))
+    # Mirror translation into the packed two-tier flat space.
+    m = bsel.mirror                                    # [n, kat], sent n*kat
+    sr = jnp.minimum(m // kat, n - 1)
+    ml = m % kat
+    rt = inv_t[sr]
+    bp = jnp.asarray(bigpos_np)[rt]
+    spos = jnp.asarray(smallpos_np)[rt]
+    lm = jnp.asarray(lane_map_np)[ml]
+    packed_total = nb_tot * kat + (n - nb_tot) * ksm
+    packed = jnp.where(bp >= 0, bp * kat + ml,
+                       nb_tot * kat + spos * ksm + lm)
+    packed = jnp.where((m >= n * kat) | ((bp < 0) & (lm < 0)),
+                       packed_total, packed)
+    io_b = io_t[jnp.asarray(rows_big_np)]
+    io_s = io_t[jnp.asarray(rows_small_np)]
+    small_cols = jnp.asarray(small_cols_np)
+    return AngTier(
+        row_order=io_t,
+        idx_big=bsel.nbr_rad[io_b], mask_big=bsel.rad_mask[io_b],
+        mir_big=packed[io_b], slot_rows_big=bsel.slot_of_sorted[io_b],
+        idx_small=bsel.nbr_rad[io_s][:, small_cols],
+        mask_small=bsel.rad_mask[io_s][:, small_cols],
+        mir_small=packed[io_s][:, small_cols],
+        slot_rows_small=bsel.slot_of_sorted[io_s],
+        big_counts=jnp.stack(big_counts),
+        concat_pos=jnp.asarray(concat_pos_np))
+
+
+@jax.custom_vjp
+def _tiered_gather(slots, idx_b, idx_s, mir_b, mir_s, mask_b, mask_s,
+                   srows_b, srows_s):
+    """Joint two-tier slot gather whose adjoint is a frozen gather through
+    the packed-space mirror (big and small entries mirror across tiers, so
+    the VJP must see both cotangents at once)."""
+    nb, kat = idx_b.shape
+    ns, ksm = idx_s.shape
+    out_b = slots[idx_b.reshape(-1)].reshape(nb, kat, 3).transpose(2, 0, 1)
+    out_s = slots[idx_s.reshape(-1)].reshape(ns, ksm, 3).transpose(2, 0, 1)
+    return out_b, out_s
+
+
+def _tiered_gather_fwd(slots, idx_b, idx_s, mir_b, mir_s, mask_b, mask_s,
+                       srows_b, srows_s):
+    out = _tiered_gather(slots, idx_b, idx_s, mir_b, mir_s, mask_b, mask_s,
+                         srows_b, srows_s)
+    return out, (idx_b.shape, idx_s.shape, mir_b, mir_s, mask_b, mask_s,
+                 srows_b, srows_s, slots.shape[0])
+
+
+def _tiered_gather_bwd(res, g):
+    ((nb, kat), (ns, ksm), mir_b, mir_s, mask_b, mask_s,
+     srows_b, srows_s, n_slots) = res
+    g_b, g_s = g
+    flat = jnp.concatenate(
+        [g_b.transpose(1, 2, 0).reshape(nb * kat, 3),
+         g_s.transpose(1, 2, 0).reshape(ns * ksm, 3),
+         jnp.zeros((1, 3), g_b.dtype)], axis=0)
+    gm_b = flat[mir_b.reshape(-1)].reshape(nb, kat, 3).transpose(2, 0, 1)
+    gm_b = jnp.where(mask_b[None], gm_b, 0.0)
+    pa_b = jnp.sum(gm_b, axis=2)                       # [3, NB]
+    gm_s = flat[mir_s.reshape(-1)].reshape(ns, ksm, 3).transpose(2, 0, 1)
+    gm_s = jnp.where(mask_s[None], gm_s, 0.0)
+    pa_s = jnp.sum(gm_s, axis=2)
+    d_slots = jnp.zeros((n_slots, 3), g_b.dtype)
+    d_slots = d_slots.at[srows_b].set(pa_b.T, mode='drop')
+    d_slots = d_slots.at[srows_s].set(pa_s.T, mode='drop')
+    return (d_slots,) + (None,) * 8
+
+
+_tiered_gather.defvjp(_tiered_gather_fwd, _tiered_gather_bwd)
 
 
 @functools.lru_cache(maxsize=32)
@@ -236,11 +499,15 @@ def _lane_tables(cell_caps: Tuple[int, ...]):
 def select_window(cell_list: CellList, positions: Array, box: Array,
                   species: np.ndarray, layout: BlockedLayout,
                   radial_cutoff: float, angular_cutoff: float,
+                  grouping_order: Optional[np.ndarray] = None,
+                  present_counts: Optional[Tuple[int, ...]] = None,
                   ) -> WindowSelection:
     """Freeze a window-mode selection.
 
     ``layout``: ``ang_caps``/``present`` drive the angular compaction;
     ``cell_caps``/``cell_grid`` the species-sub-blocked slot assignment.
+    ``grouping_order``/``present_counts`` (the model's static species
+    grouping) enable angular row tiering when the layout plans it.
     """
     _check_window_config(cell_list, layout)
     positions = jax.lax.stop_gradient(positions)
@@ -348,9 +615,69 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     bsel = _compact_blocked(n, cc, a_layout, valid_ang, valid_ang,
                             cand_sp_raw, cand_slot_atom, order,
                             slot_of_sorted, idx_n, max_occ)
+    tier = None
+    if (grouping_order is not None and present_counts is not None
+            and layout.ang_small_caps is not None
+            and layout.ang_big_rows is not None):
+        tier = _build_tier(bsel, layout, grouping_order,
+                           tuple(int(x) for x in present_counts), n)
     return WindowSelection(ang=bsel, shift_planes=shift_planes,
                            wrap_shift=wrap_shift, max_cell_sp=max_cell_sp,
-                           cell_perm=cell_perm, n_big_true=n_big_true)
+                           cell_perm=cell_perm, n_big_true=n_big_true,
+                           tier=tier)
+
+
+def _part_deltas(out3, centers, mask, box):
+    """Minimum-imaged coordinate-plane deltas for one tier's gathered
+    neighbor positions (rows x lanes)."""
+    dx = out3[0] - centers[:, 0:1]
+    dy = out3[1] - centers[:, 1:2]
+    dz = out3[2] - centers[:, 2:3]
+    if box is not None:
+        s3 = jnp.round(dz / box[2, 2])
+        dx = dx - s3 * box[2, 0]
+        dy = dy - s3 * box[2, 1]
+        dz = dz - s3 * box[2, 2]
+        s2 = jnp.round(dy / box[1, 1])
+        dx = dx - s2 * box[1, 0]
+        dy = dy - s2 * box[1, 1]
+        dx = dx - jnp.round(dx / box[0, 0]) * box[0, 0]
+    deltas = jnp.stack([dx, dy, dz])
+    return jnp.where(mask[None], deltas, 0.0)
+
+
+def _tiered_angular(cell_list: CellList, positions: Array, box: Array,
+                    wsel: WindowSelection, basis, layout: BlockedLayout,
+                    cc: int, interpret):
+    """Two-tier angular AEV: big rows against the full triple table, small
+    rows against the (quadratically smaller) small-capacity table, via one
+    joint mirror-adjoint gather. Returns (tiered row_order, angular)."""
+    from ..ops.pallas_aev import angular_aev_pallas
+    sel = wsel.ang
+    t = wsel.tier
+    small = layout.ang_small_caps
+    a_full = ang_as_rad_layout(layout)
+    a_small = BlockedLayout(num_species=layout.num_species,
+                            present=layout.present,
+                            rad_caps=small, ang_caps=small)
+    pos_sorted = positions[sel.order]
+    slots = jnp.zeros((cc + 2, 3), positions.dtype)
+    slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
+    out_b, out_s = _tiered_gather(
+        slots, t.idx_big, t.idx_small, t.mir_big, t.mir_small,
+        t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small)
+    centers_b = slots[jnp.minimum(t.slot_rows_big, cc + 1)]
+    deltas_b = _part_deltas(out_b, centers_b, t.mask_big, box)
+    ang_b = angular_aev_pallas(deltas_b, t.mask_big, basis, a_full,
+                               interpret=interpret,
+                               rad_width=deltas_b.shape[2])
+    centers_s = slots[jnp.minimum(t.slot_rows_small, cc + 1)]
+    deltas_s = _part_deltas(out_s, centers_s, t.mask_small, box)
+    ang_s = angular_aev_pallas(deltas_s, t.mask_small, basis, a_small,
+                               interpret=interpret,
+                               rad_width=deltas_s.shape[2])
+    angular = jnp.concatenate([ang_b, ang_s], axis=0)[t.concat_pos]
+    return t.row_order, angular
 
 
 def window_features(cell_list: CellList, positions: Array, box: Array,
@@ -369,13 +696,17 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
     cc = ncells * c
     a_layout = ang_as_rad_layout(layout)
 
-    # --- Angular: compacted-lane payload (mirror-adjoint gather) + the
-    # fused Pallas angular kernel, all shared with the blocked path.
-    pay = payload_from_blocked(cell_list, positions, box, sel,
-                               rad_only=True, row_order=row_order)
-    angular = angular_aev_pallas(pay.rad_deltas, pay.ang_mask, basis,
-                                 a_layout, interpret=interpret,
-                                 rad_width=pay.rad_deltas.shape[2])
+    if wsel.tier is not None:
+        row_order, angular = _tiered_angular(
+            cell_list, positions, box, wsel, basis, layout, cc, interpret)
+    else:
+        # --- Angular: compacted-lane payload (mirror-adjoint gather) + the
+        # fused Pallas angular kernel, all shared with the blocked path.
+        pay = payload_from_blocked(cell_list, positions, box, sel,
+                                   rad_only=True, row_order=row_order)
+        angular = angular_aev_pallas(pay.rad_deltas, pay.ang_mask, basis,
+                                     a_layout, interpret=interpret,
+                                     rad_width=pay.rad_deltas.shape[2])
 
     # --- Radial: dense per-cell window kernel, capacity-free.
     p_w = positions - wsel.wrap_shift
