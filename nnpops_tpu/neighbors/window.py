@@ -16,10 +16,10 @@ species-blocked lanes of ``neighbors.blocked``):
 * the ANGULAR AEV keeps compacted per-atom lanes (its triple enumeration
   needs them), but the per-step gather now fetches ONLY the angular window
   (~3x fewer rows than the radial list, neighbor counts scale with r^3).
-  The compaction machinery is ``blocked._compact_blocked`` run with the
-  angular validity for both windows, so the angular list, its mirror, and
-  the payload/Pallas kernels are exactly the battle-tested blocked-path
-  components.
+  The compaction (``_compact_window``) exploits the static lane species of
+  species-major windows: one sort per species over its own lane slice and
+  slice-sum true counts; the payload/Pallas kernels are the battle-tested
+  blocked-path components.
 
 Frozen-wrap contract: positions are wrapped into the primary box with the
 box-multiple recorded AT REFRESH TIME (``wrap_shift``), so a slot's
@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas_window import FAR, window_radial_aev
-from .blocked import (BlockedLayout, BlockedSelection, _compact_blocked,
+from .blocked import (BlockedLayout, BlockedSelection, _build_mirror,
                       payload_from_blocked)
 from .cell_list import CellList, _perpendicular_widths
 
@@ -280,98 +280,131 @@ def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
 
 
 @functools.lru_cache(maxsize=32)
-def _tier_tables(present_counts: Tuple[int, ...], ang_caps: Tuple[int, ...],
-                 small_caps: Tuple[int, ...], big_caps: Tuple[int, ...]):
+def _tier_static(present_counts: Tuple[int, ...], big_caps: Tuple[int, ...]):
     """Static tier-row-space tables (see AngTier): rows are species blocks
-    (sizes present_counts), each split [big capacity | small]; the packed
-    flat space is [all big rows x Kat | all small rows x Ksm]."""
-    n = sum(present_counts)
-    kat = sum(ang_caps)
+    (sizes present_counts), each split [big capacity | small]. Returns
+    (nb_tot, concat_pos) where concat_pos maps a tiered row to its position
+    in the packed [all big rows | all small rows] concatenation."""
     starts = np.cumsum((0,) + present_counts)[:-1]
-    rows_big = np.concatenate(
-        [st + np.arange(bc) for st, bc in zip(starts, big_caps)]
-        or [np.zeros(0, np.int64)]).astype(np.int32)
-    rows_small = np.concatenate(
-        [st + bc + np.arange(cnt - bc)
-         for st, bc, cnt in zip(starts, big_caps, present_counts)]
-        or [np.zeros(0, np.int64)]).astype(np.int32)
-    bigpos = np.full(n, -1, np.int32)
-    bigpos[rows_big] = np.arange(len(rows_big), dtype=np.int32)
-    smallpos = np.full(n, -1, np.int32)
-    smallpos[rows_small] = np.arange(len(rows_small), dtype=np.int32)
-    ang_offs = np.cumsum((0,) + ang_caps)[:-1]
-    small_cols = np.concatenate(
-        [o + np.arange(sc) for o, sc in zip(ang_offs, small_caps)]
-    ).astype(np.int32)
-    lane_map = np.full(kat, -1, np.int32)
-    lane_map[small_cols] = np.arange(len(small_cols), dtype=np.int32)
-    concat_pos = np.empty(n, np.int32)
-    concat_pos[rows_big] = np.arange(len(rows_big), dtype=np.int32)
-    concat_pos[rows_small] = (len(rows_big)
-                              + np.arange(len(rows_small), dtype=np.int32))
-    return (rows_big, rows_small, bigpos, smallpos, small_cols, lane_map,
-            concat_pos)
+    nb_tot = int(sum(big_caps))
+    cum_bc = np.cumsum((0,) + big_caps)[:-1]
+    small_sizes = tuple(c - b for c, b in zip(present_counts, big_caps))
+    cum_sc = np.cumsum((0,) + small_sizes)[:-1]
+    concat_pos = np.empty(sum(present_counts), np.int32)
+    for i, (st, cnt, bc) in enumerate(zip(starts, present_counts, big_caps)):
+        concat_pos[st:st + bc] = cum_bc[i] + np.arange(bc)
+        concat_pos[st + bc:st + cnt] = (nb_tot + cum_sc[i]
+                                        + np.arange(cnt - bc))
+    return nb_tot, concat_pos
 
 
-def _build_tier(bsel: BlockedSelection, layout: BlockedLayout,
-                grouping_order: np.ndarray,
-                present_counts: Tuple[int, ...], n: int) -> AngTier:
-    """Traced per-refresh tier construction (see AngTier docstring)."""
+def _mirror_packed(srows_big, idx_big, mask_big, srows_small, idx_small,
+                   mask_small, cc: int):
+    """Mirror indices built DIRECTLY in the packed two-tier flat space
+    ([big rows x Kat | small rows x Ksm]) — same two-sort pairing as
+    ``blocked._build_mirror``, but run on ~40% fewer entries (small rows
+    carry only their Ksm lanes) and with no after-the-fact translation.
+
+    Pairing correctness: each valid directed entry (i -> j) has its reverse
+    (j -> i) present in the packed space — a small row's valid lanes all
+    sit inside its leading small-cap lanes by the tier definition. Rows
+    beyond the big-row capacity lose lanes and break pairing; that is the
+    ``big_counts > ang_big_rows`` soft failure (results already invalid).
+    """
+    nb, kat = idx_big.shape
+    ns, ksm = idx_small.shape
+    tot = nb * kat + ns * ksm
+    s1 = jnp.concatenate([
+        jnp.broadcast_to(srows_big[:, None], (nb, kat)).reshape(-1),
+        jnp.broadcast_to(srows_small[:, None], (ns, ksm)).reshape(-1)])
+    s2 = jnp.concatenate([idx_big.reshape(-1), idx_small.reshape(-1)])
+    valid = jnp.concatenate([mask_big.reshape(-1), mask_small.reshape(-1)])
+    valid = valid & (s1 <= cc)
+    flat = jnp.arange(tot, dtype=jnp.int32)
+    base = cc + 2
+    if base * base < 2 ** 32:
+        p1 = s1.astype(jnp.uint32) * np.uint32(base) + s2.astype(jnp.uint32)
+        p2 = s2.astype(jnp.uint32) * np.uint32(base) + s1.astype(jnp.uint32)
+        bigk = jnp.uint32(2 ** 32 - 1)
+        _, v1 = jax.lax.sort([jnp.where(valid, p1, bigk), flat], num_keys=1)
+        _, v2 = jax.lax.sort([jnp.where(valid, p2, bigk), flat], num_keys=1)
+    else:
+        bigk = jnp.int32(base)
+        _, _, v1 = jax.lax.sort([jnp.where(valid, s1, bigk),
+                                 jnp.where(valid, s2, bigk), flat],
+                                num_keys=2)
+        _, _, v2 = jax.lax.sort([jnp.where(valid, s2, bigk),
+                                 jnp.where(valid, s1, bigk), flat],
+                                num_keys=2)
+    mir = jnp.full((tot,), tot, jnp.int32).at[v1].set(v2)
+    mir = jnp.where(valid, mir, tot)
+    return (mir[:nb * kat].reshape(nb, kat),
+            mir[nb * kat:].reshape(ns, ksm))
+
+
+def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
+                       inv_order: Array, grouping_order: np.ndarray,
+                       present_counts: Tuple[int, ...],
+                       layout: BlockedLayout, cc: int) -> AngTier:
+    """Traced per-refresh tier construction (see AngTier docstring).
+
+    Works entirely with ROW permutations + static slices: rows are permuted
+    to tier order FIRST and the mirror is then built directly in the packed
+    flat space (``_mirror_packed``) — the previous design built the mirror
+    full-width and translated it with four ~N*Kat-element table-lookup
+    gathers, which at the measured ~4-5 ns/row gather latency cost ~20 ms
+    of the 26k select (NOTES_PERF.md round-2 session 5).
+    """
     a_caps = layout.ang_caps
     small = layout.ang_small_caps
     bigc = layout.ang_big_rows
-    kat = sum(a_caps)
     ang_offs = np.cumsum((0,) + a_caps)[:-1]
-    (rows_big_np, rows_small_np, bigpos_np, smallpos_np, small_cols_np,
-     lane_map_np, concat_pos_np) = _tier_tables(present_counts, a_caps,
-                                                small, bigc)
-    nb_tot = len(rows_big_np)
-    ksm = len(small_cols_np)
+    nb_tot, concat_pos_np = _tier_static(present_counts, bigc)
 
-    io_g = bsel.inv_order[jnp.asarray(np.asarray(grouping_order, np.int32))]
-    mask_g = bsel.rad_mask[io_g]                       # [N, Kat]
-    is_big = jnp.zeros((n,), bool)
-    for i in range(len(a_caps)):
-        cnt = jnp.sum(mask_g[:, int(ang_offs[i]):int(ang_offs[i]) + a_caps[i]],
-                      axis=1)
-        is_big = is_big | (cnt > small[i])
-    # Stable big-first sort within each (static) species block.
+    is_big_sorted = jnp.any(
+        counts > jnp.asarray(np.asarray(small, np.int32))[None, :], axis=1)
+    io_g = inv_order[jnp.asarray(np.asarray(grouping_order, np.int32))]
+    blk = is_big_sorted[io_g]
     starts = np.cumsum((0,) + present_counts)[:-1]
-    parts = []
-    big_counts = []
+    parts, big_counts = [], []
     for st, cnt in zip(starts, present_counts):
-        blk = is_big[int(st):int(st) + cnt]
+        b = jax.lax.slice_in_dim(blk, int(st), int(st) + cnt, axis=0)
         parts.append(int(st)
-                     + jnp.argsort(~blk, stable=True).astype(jnp.int32))
-        big_counts.append(jnp.sum(blk.astype(jnp.int32)))
+                     + jnp.argsort(~b, stable=True).astype(jnp.int32))
+        big_counts.append(jnp.sum(b.astype(jnp.int32)))
     perm = jnp.concatenate(parts)
     io_t = io_g[perm]                                  # tiered row -> sorted
-    inv_t = jnp.zeros((n,), jnp.int32).at[io_t].set(
-        jnp.arange(n, dtype=jnp.int32))
-    # Mirror translation into the packed two-tier flat space.
-    m = bsel.mirror                                    # [n, kat], sent n*kat
-    sr = jnp.minimum(m // kat, n - 1)
-    ml = m % kat
-    rt = inv_t[sr]
-    bp = jnp.asarray(bigpos_np)[rt]
-    spos = jnp.asarray(smallpos_np)[rt]
-    lm = jnp.asarray(lane_map_np)[ml]
-    packed_total = nb_tot * kat + (n - nb_tot) * ksm
-    packed = jnp.where(bp >= 0, bp * kat + ml,
-                       nb_tot * kat + spos * ksm + lm)
-    packed = jnp.where((m >= n * kat) | ((bp < 0) & (lm < 0)),
-                       packed_total, packed)
-    io_b = io_t[jnp.asarray(rows_big_np)]
-    io_s = io_t[jnp.asarray(rows_small_np)]
-    small_cols = jnp.asarray(small_cols_np)
+    nbr_t = nbr[io_t]
+    mask_t = mask[io_t]
+    srows_t = slot32[io_t]
+
+    def split_rows(x):
+        bigs = [jax.lax.slice_in_dim(x, int(st), int(st) + bc, axis=0)
+                for st, bc in zip(starts, bigc)]
+        smalls = [jax.lax.slice_in_dim(x, int(st) + bc, int(st) + cnt, axis=0)
+                  for st, bc, cnt in zip(starts, bigc, present_counts)]
+        return jnp.concatenate(bigs, 0), jnp.concatenate(smalls, 0)
+
+    idx_big, rest_n = split_rows(nbr_t)
+    mask_big, rest_m = split_rows(mask_t)
+    srows_big, srows_small = split_rows(srows_t)
+
+    def small_lanes(x):
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(x, int(ao), int(ao) + sc, axis=1)
+             for ao, sc in zip(ang_offs, small)], axis=1)
+
+    idx_small = small_lanes(rest_n)
+    mask_small = small_lanes(rest_m)
+    mir_big, mir_small = _mirror_packed(srows_big, idx_big, mask_big,
+                                        srows_small, idx_small, mask_small,
+                                        cc)
     return AngTier(
         row_order=io_t,
-        idx_big=bsel.nbr_rad[io_b], mask_big=bsel.rad_mask[io_b],
-        mir_big=packed[io_b], slot_rows_big=bsel.slot_of_sorted[io_b],
-        idx_small=bsel.nbr_rad[io_s][:, small_cols],
-        mask_small=bsel.rad_mask[io_s][:, small_cols],
-        mir_small=packed[io_s][:, small_cols],
-        slot_rows_small=bsel.slot_of_sorted[io_s],
+        idx_big=idx_big, mask_big=mask_big,
+        mir_big=mir_big, slot_rows_big=srows_big,
+        idx_small=idx_small, mask_small=mask_small,
+        mir_small=mir_small, slot_rows_small=srows_small,
         big_counts=jnp.stack(big_counts),
         concat_pos=jnp.asarray(concat_pos_np))
 
@@ -474,6 +507,46 @@ def _check_window_config(cell_list: CellList, layout: BlockedLayout) -> None:
                          f'{cell_list.cell_capacity} vs planned '
                          f'{sum(layout.cell_caps)} — build the cell list '
                          'with ANIModel.create_cell_list')
+
+
+def _compact_window(cc: int, layout: BlockedLayout, valid_ang: Array,
+                    cand_slot_atom: Array):
+    """Per-species angular compaction specialized to species-major windows.
+
+    The lane species is STATIC here (species s owns the contiguous lane
+    block [27*off_s, 27*(off_s+cell_caps[s]))), so each species compacts
+    with one sort of its own lane slice and the true per-species counts are
+    plain slice sums — no stage-1 wide packed sort, no decode, no masked
+    full-width reductions (the generic ``blocked._compact_blocked``
+    machinery that cost ~18 ms of the 26k select).
+
+    Returns (nbr [N, Kat], mask [N, Kat], counts [N, npres],
+    ang_in_rad [N, Kat]) in cell-sorted row space, lanes slot-ascending
+    within each species block.
+    """
+    cell_caps = layout.cell_caps
+    a_caps = layout.ang_caps
+    lane_sizes = [27 * cs for cs in cell_caps]
+    lane_offs = np.cumsum((0,) + tuple(lane_sizes))[:-1]
+    big = jnp.int32(2 ** 31 - 1)
+    krt = int(sum(a_caps))
+    nbr, masks, counts, air = [], [], [], []
+    ro = 0
+    for i, (lo, w) in enumerate(zip(lane_offs, lane_sizes)):
+        v = jax.lax.slice_in_dim(valid_ang, int(lo), int(lo) + w, axis=1)
+        s = jax.lax.slice_in_dim(cand_slot_atom, int(lo), int(lo) + w,
+                                 axis=1)
+        counts.append(jnp.sum(v.astype(jnp.int32), axis=1))
+        key = jnp.where(v, s, big)
+        key = jax.lax.sort(key, dimension=1)[:, :a_caps[i]]
+        m = key < big
+        nbr.append(jnp.where(m, key, cc))
+        masks.append(m)
+        air.append(jnp.where(
+            m, jnp.arange(ro, ro + a_caps[i], dtype=jnp.int32)[None], krt))
+        ro += a_caps[i]
+    return (jnp.concatenate(nbr, axis=1), jnp.concatenate(masks, axis=1),
+            jnp.stack(counts, axis=1), jnp.concatenate(air, axis=1))
 
 
 @functools.lru_cache(maxsize=32)
@@ -605,22 +678,36 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     skin = cell_list.cutoff - radial_cutoff
     ang_window = angular_cutoff + max(skin, 0.0)
     valid_ang = (d2 < ang_window * ang_window) & not_self
-    # Species per lane is static (species-major window): broadcast row.
-    lane_sp_np = np.concatenate(
-        [np.full(27 * cs, layout.present[i], np.int32)
-         for i, cs in enumerate(cell_caps)])
-    cand_sp_raw = jnp.broadcast_to(jnp.asarray(lane_sp_np)[None, :], (n, kk))
 
-    a_layout = ang_as_rad_layout(layout)
-    bsel = _compact_blocked(n, cc, a_layout, valid_ang, valid_ang,
-                            cand_sp_raw, cand_slot_atom, order,
-                            slot_of_sorted, idx_n, max_occ)
+    nbr, mask, counts, air = _compact_window(cc, layout, valid_ang,
+                                             cand_slot_atom)
+    max_ang = jnp.max(counts, axis=0)            # [npres]; radial == angular
+    slot32 = slot_of_sorted.astype(jnp.int32)
+    order32 = order.astype(jnp.int32)
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx_n, mode='drop')
+    slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
+    slot_to_atom = slot_to_atom.at[slot_of_sorted].set(order32, mode='drop')
+    tiering = (grouping_order is not None and present_counts is not None
+               and layout.ang_small_caps is not None
+               and layout.ang_big_rows is not None)
+    if tiering:
+        # The full-width mirror is never consumed on the tiered path (the
+        # angular payload rides _tiered_gather's packed mirror); skip the
+        # two flat [N*Kat] sorts it would cost.
+        mirror = jnp.zeros((1, 1), jnp.int32)
+    else:
+        mirror = _build_mirror(slot32, nbr, mask, cc)
+    bsel = BlockedSelection(
+        order=order32, slot_of_sorted=slot32, inv_order=inv_order,
+        slot_to_atom=slot_to_atom, nbr_rad=nbr, rad_mask=mask,
+        nbr_ang=nbr, ang_mask=mask, max_rad=max_ang, max_ang=max_ang,
+        max_cell_occupancy=max_occ, mirror=mirror, ang_in_rad=air)
     tier = None
-    if (grouping_order is not None and present_counts is not None
-            and layout.ang_small_caps is not None
-            and layout.ang_big_rows is not None):
-        tier = _build_tier(bsel, layout, grouping_order,
-                           tuple(int(x) for x in present_counts), n)
+    if tiering:
+        tier = _build_tier_packed(nbr, mask, counts, slot32, inv_order,
+                                  grouping_order,
+                                  tuple(int(x) for x in present_counts),
+                                  layout, cc)
     return WindowSelection(ang=bsel, shift_planes=shift_planes,
                            wrap_shift=wrap_shift, max_cell_sp=max_cell_sp,
                            cell_perm=cell_perm, n_big_true=n_big_true,
