@@ -91,6 +91,11 @@ class ANIModel:
     # 'bfloat16' (2x MXU rate, f32 accumulation; ~1e-3 relative force error —
     # inside the reference's 5e-3 force gate, outside its 5e-7 energy gate).
     nn_dtype: Optional[str] = None
+    # Ensemble implementation for the grouped-row paths: 'xla' (full weight
+    # gradients, training-capable) or 'fused' (Pallas kernel, weights
+    # VMEM-resident, bf16 matmuls — inference + position gradients only,
+    # the reference BatchedNN's exact scope, BatchedNN.cpp:36-41).
+    nn_impl: str = 'xla'
 
     @classmethod
     def from_atomic_numbers(cls, atomic_numbers, basis: Optional[ANIBasis] = None,
@@ -100,14 +105,15 @@ class ANIModel:
                             aev_bf16: bool = False,
                             aev_impl: str = 'payload',
                             blocked_layout=None,
-                            nn_dtype: Optional[str] = None) -> 'ANIModel':
+                            nn_dtype: Optional[str] = None,
+                            nn_impl: str = 'xla') -> 'ANIModel':
         basis = basis if basis is not None else ANIBasis.ani2x()
         sp = species_from_atomic_numbers(atomic_numbers, elements)
         return cls(basis=basis, species=tuple(int(s) for s in sp),
                    angular_capacity=angular_capacity,
                    aev_chunk_size=aev_chunk_size, aev_bf16=aev_bf16,
                    aev_impl=aev_impl, blocked_layout=blocked_layout,
-                   nn_dtype=nn_dtype)
+                   nn_dtype=nn_dtype, nn_impl=nn_impl)
 
     def with_blocked_layout(self, positions, box, margin: float = 1.2,
                             lane_multiple: int = 1,
@@ -365,9 +371,14 @@ class ANIModel:
             feat = window_features(cell_list, positions, box, sel,
                                    self.basis, self.blocked_layout,
                                    row_order=io_g)
-            e_nn = ensemble_energy_grouped_rows(params.ensemble, feat,
-                                                g.counts,
-                                                self.nn_compute_dtype)
+            if self.nn_impl == 'fused':
+                from ..ops.pallas_nn import ensemble_energy_grouped_rows_fused
+                e_nn = ensemble_energy_grouped_rows_fused(params.ensemble,
+                                                          feat, g.counts)
+            else:
+                e_nn = ensemble_energy_grouped_rows(params.ensemble, feat,
+                                                    g.counts,
+                                                    self.nn_compute_dtype)
             sae = jnp.sum(params.self_energies[
                 jnp.asarray(self.species_array)])
             return e_nn + sae
@@ -389,9 +400,14 @@ class ANIModel:
                 payload, self.basis, self.blocked_layout, self.aev_chunk_size,
                 angular_impl='pallas' if pallas else 'xla')
             feat = jnp.concatenate([radial, angular], axis=1)
-            e_nn = ensemble_energy_grouped_rows(params.ensemble, feat,
-                                                g.counts,
-                                                self.nn_compute_dtype)
+            if self.nn_impl == 'fused':
+                from ..ops.pallas_nn import ensemble_energy_grouped_rows_fused
+                e_nn = ensemble_energy_grouped_rows_fused(params.ensemble,
+                                                          feat, g.counts)
+            else:
+                e_nn = ensemble_energy_grouped_rows(params.ensemble, feat,
+                                                    g.counts,
+                                                    self.nn_compute_dtype)
             sae = jnp.sum(params.self_energies[
                 jnp.asarray(self.species_array)])
             return e_nn + sae
