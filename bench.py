@@ -23,7 +23,8 @@ import time
 
 def build_scan_bench(num_molecules: int, steps_per_call: int,
                      skin: float = 0.0, refresh_every: int = 1,
-                     aev_impl: str = 'pallas', nn_dtype=None):
+                     aev_impl: str = 'pallas', nn_dtype=None,
+                     nn_impl: str = 'xla'):
     import jax
     import jax.numpy as jnp
     from nnpops_tpu.config import ANIBasis
@@ -34,7 +35,7 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
     water = make_water_box(num_molecules, seed=0)
     basis = ANIBasis.ani2x()
     model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
-                                         nn_dtype=nn_dtype)
+                                         nn_dtype=nn_dtype, nn_impl=nn_impl)
     # Size the static per-species lane capacities from the actual
     # configuration (true max neighbor counts + headroom, not guesses).
     model = model.with_blocked_layout(water.positions, water.box,
@@ -92,6 +93,13 @@ def main():
                              'acceptance gate of 5e-3 '
                              '(TestSymmetryFunctions.py:66-70). '
                              'Use float32 for the strict-parity path.')
+    parser.add_argument('--nn-impl', default='fused',
+                        choices=['xla', 'fused'],
+                        help='ensemble implementation: fused (default) = '
+                             'Pallas kernel with VMEM-resident weights '
+                             '(inference + position gradients, the '
+                             'reference BatchedNN scope); xla = einsum path '
+                             'with full weight gradients')
     parser.add_argument('--skin', type=float, default=0.25,
                         help='Verlet skin (A); selection refreshed every '
                              '--refresh steps instead of every step')
@@ -125,7 +133,8 @@ def main():
                                                 skin=args.skin,
                                                 refresh_every=args.refresh,
                                                 aev_impl=args.impl,
-                                                nn_dtype=args.nn_dtype)
+                                                nn_dtype=args.nn_dtype,
+                                                nn_impl=args.nn_impl)
             final, energies = run(params, positions)       # compile + warmup
             jax.block_until_ready(final)
             check_overflow(final)   # overflow contract: between scanned calls
