@@ -148,15 +148,171 @@ def pme_direct_energy(positions: Array, charges: Array, pairs: MaskedPairs,
 # ---------------------------------------------------------------------------
 # Reciprocal space.
 
+_CHUNK = 8   # grid points per chunk axis for the chunked spreading path
+
+
+def _chunkable(config: PMEConfig) -> bool:
+    return (config.order <= _CHUNK + 1
+            and all(g % _CHUNK == 0 and g >= 2 * _CHUNK
+                    for g in config.grid_shape))
+
+
+def _atom_chunk_data(positions: Array, charges: Array, box: Array,
+                     config: PMEConfig):
+    """Per-atom spline data + chunk assignment (shared by the chunked
+    spread and its overflow check)."""
+    gx, gy, gz = config.grid_shape
+    order = config.order
+    recip = invert_box(box)
+    t = positions @ recip
+    t = (t - jnp.floor(t)) * jnp.asarray([gx, gy, gz], positions.dtype)
+    ti = jnp.floor(t)
+    dr = t - ti
+    base = ti.astype(jnp.int32) % jnp.asarray([gx, gy, gz], jnp.int32)
+    w = bspline_weights(dr, order)                          # [N, 3, order]
+    chunk3 = base // _CHUNK
+    lbase = base - chunk3 * _CHUNK                          # [N, 3] in [0, 8)
+    ncy, ncz = gy // _CHUNK, gz // _CHUNK
+    cid = (chunk3[:, 0] * ncy + chunk3[:, 1]) * ncz + chunk3[:, 2]
+    return w, lbase, cid
+
+
+def spread_capacity(num_atoms: int, config: PMEConfig) -> int:
+    """Static per-chunk atom capacity for the chunked spreading path:
+    4x the mean occupancy + 8 absorbs water-like density fluctuations
+    (checked by ``spread_overflow`` under the usual soft-failure
+    contract, getNeighborPairs.py:77-83)."""
+    nchunks = int(np.prod([g // _CHUNK for g in config.grid_shape]))
+    return int(np.ceil(4.0 * num_atoms / nchunks)) + 8
+
+
+def spread_overflow(positions: Array, charges: Array, box: Array,
+                    config: PMEConfig) -> Array:
+    """TRUE max atoms-per-chunk of the chunked spreading path, as data —
+    compare against ``spread_capacity`` between jitted calls; any excess
+    means charge was silently dropped."""
+    _, _, cid = _atom_chunk_data(positions, charges, box, config)
+    nchunks = int(np.prod([g // _CHUNK for g in config.grid_shape]))
+    counts = jax.ops.segment_sum(jnp.ones_like(cid), cid,
+                                 num_segments=nchunks)
+    return jnp.max(counts)
+
+
+def spread_charges_chunked(positions: Array, charges: Array, box: Array,
+                           config: PMEConfig,
+                           capacity: Optional[int] = None) -> Array:
+    """Scatter-free B-spline charge spreading (the TPU-native fast path).
+
+    The reference spreads with per-atom triple loops + atomicAdd
+    (pmeCUDA.cu:158-190); the direct XLA translation is an [N * order^3]
+    scatter-add, which TPU lowers to a serialized ~ns-per-element update
+    (measured 499.7 ms at 26k atoms / 128^3 grid, NOTES_PERF.md). This
+    formulation has NO grid-sized scatter at all:
+
+    * atoms are binned to 8^3-grid-point chunks by their stencil BASE cell;
+      an order-n stencil (n <= 9) then lies entirely inside the chunk's
+      [8 + n - 1 <= 16]^3 local grid — no halo atoms, each atom in exactly
+      one chunk. Binning is one [N] sort + a fixed-capacity row scatter
+      (whose autodiff transpose is a row gather);
+    * per chunk, spreading is an outer product of one-hot spline matrices:
+      local[x, yz] = WX^T[x, a] @ TYZ[a, yz] — an MXU matmul batched over
+      chunks (grid-point values are SUMS over atoms; the matmul does the
+      reduction that atomics did in the reference);
+    * chunk-local grids are folded into the global grid by a static
+      overlap-add: 2^3 reshape+roll terms (the spill of chunk c along an
+      axis lands wholly in chunk c+1), all dense adds.
+
+    Everything downstream of the binning permutation is dense math, so
+    ``jax.grad`` yields the force-interpolation gather (pmeCPU.cpp:324-343)
+    and second derivatives work. Atoms beyond ``capacity`` per chunk are
+    dropped (soft failure; see ``spread_overflow``).
+    """
+    gx, gy, gz = config.grid_shape
+    order = config.order
+    ncx, ncy, ncz = gx // _CHUNK, gy // _CHUNK, gz // _CHUNK
+    nchunks = ncx * ncy * ncz
+    loc = _CHUNK + order - 1                  # local grid extent per axis
+    n = positions.shape[0]
+    cap = capacity if capacity is not None else spread_capacity(n, config)
+
+    w, lbase, cid = _atom_chunk_data(positions, charges, box, config)
+    amp = charges * np.sqrt(config.coulomb)
+
+    # Fixed-capacity chunk slots: sort atoms by chunk, rank within chunk.
+    cid_s = jax.lax.stop_gradient(cid)
+    order_idx = jnp.argsort(cid_s, stable=True).astype(jnp.int32)
+    sorted_cid = cid_s[order_idx]
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones((1,), bool),
+                               sorted_cid[1:] != sorted_cid[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(new_seg, idx_n, 0))
+    rank = idx_n - seg_start
+    slot = jnp.where(rank < cap, sorted_cid * cap + rank, nchunks * cap)
+
+    # Row scatter into slot space (AD transpose = row gather). Weights and
+    # amplitude carry gradients; lbase is discrete (stop-gradient by cast).
+    rows = jnp.concatenate([w.reshape(n, 3 * order),
+                            amp[:, None]], axis=1)[order_idx]
+    srows = jnp.zeros((nchunks * cap, 3 * order + 1), rows.dtype)
+    srows = srows.at[slot].set(rows, mode='drop')
+    slb = jnp.zeros((nchunks * cap, 3), jnp.int32)
+    slb = slb.at[slot].set(lbase[order_idx], mode='drop')
+    sw = srows[:, :3 * order].reshape(nchunks * cap, 3, order)
+    samp = srows[:, 3 * order]
+
+    # One-hot spline rows over the local grid (no wrap: lbase + k < loc).
+    iota = jnp.arange(loc, dtype=jnp.int32)
+
+    def onehot(axis):
+        out = jnp.zeros((nchunks * cap, loc), positions.dtype)
+        for k in range(order):
+            hit = (slb[:, axis, None] + k) == iota[None, :]
+            out = out + sw[:, axis, k:k + 1] * hit.astype(out.dtype)
+        return out
+
+    wxg = onehot(0).reshape(nchunks, cap, loc)
+    wyg = onehot(1)
+    wzg = onehot(2)
+    tyz = (samp[:, None, None] * wyg[:, :, None]
+           * wzg[:, None, :]).reshape(nchunks, cap, loc * loc)
+    local = jnp.einsum('cax,cam->cxm', wxg, tyz,
+                       preferred_element_type=positions.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+    local = local.reshape(ncx, ncy, ncz, loc, loc, loc)
+
+    # Static overlap-add: per axis, local l in [0, 8) stays in chunk c,
+    # l in [8, loc) spills wholly into chunk c+1 (order - 1 <= 8).
+    spill = loc - _CHUNK
+
+    def fold_axis(arr, caxis, laxis):
+        main = jax.lax.slice_in_dim(arr, 0, _CHUNK, axis=laxis)
+        sp = jax.lax.slice_in_dim(arr, _CHUNK, loc, axis=laxis)
+        pad = [(0, 0)] * arr.ndim
+        pad[laxis] = (0, _CHUNK - spill)
+        sp = jnp.pad(sp, pad)
+        sp = jnp.roll(sp, 1, axis=caxis)      # spill lands in chunk c+1
+        return main + sp
+
+    local = fold_axis(local, 0, 3)
+    local = fold_axis(local, 1, 4)
+    local = fold_axis(local, 2, 5)
+    grid = local.transpose(0, 3, 1, 4, 2, 5).reshape(gx, gy, gz)
+    return grid
+
+
 def spread_charges(positions: Array, charges: Array, box: Array,
                    config: PMEConfig) -> Array:
     """Spread charges onto the PME grid with order-n B-splines.
 
-    One scatter-add of the [N, order^3] stencil (deterministic on TPU),
+    Dispatches to the scatter-free chunked formulation
+    (``spread_charges_chunked``) whenever the grid allows it; otherwise one
+    scatter-add of the [N, order^3] stencil (deterministic on TPU),
     replacing the reference's per-atom loops + atomics (pmeCPU.cpp:202-224).
-    Differentiating through this scatter yields the force-interpolation
+    Differentiating through either yields the force-interpolation
     gather automatically.
     """
+    if _chunkable(config):
+        return spread_charges_chunked(positions, charges, box, config)
     gx, gy, gz = config.grid_shape
     order = config.order
     recip = invert_box(box)
