@@ -15,10 +15,26 @@ degenerates to the per-axis wrap, so XLA sees a single static program.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 Array = jnp.ndarray
+
+
+def box_transform(vecs: Array, mat: Array) -> Array:
+    """``vecs @ mat`` at full f32 accuracy (Precision.HIGHEST).
+
+    On TPU the DEFAULT matmul precision is a single bf16 pass — box vectors
+    round to 8 mantissa bits, i.e. ~0.25 A at a 64 A box. Every product of
+    coordinates/wrap factors with box or reciprocal vectors must therefore
+    pin the precision; a rounded wrap shift displaces boundary atoms by up
+    to ~0.03 A and silently corrupts their forces (measured via the window
+    shift planes, NOTES_PERF round-2).
+    """
+    return jax.lax.dot_general(
+        vecs, mat, (((vecs.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def minimum_image(delta: Array, box: Array | None) -> Array:

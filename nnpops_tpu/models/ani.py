@@ -96,6 +96,14 @@ class ANIModel:
     # VMEM-resident, bf16 matmuls — inference + position gradients only,
     # the reference BatchedNN's exact scope, BatchedNN.cpp:36-41).
     nn_impl: str = 'xla'
+    # Radial kernel for aev_impl='window': 'window' (directed 27-cell
+    # window kernel; honors cell-occupancy bucketing) or 'pair' (symmetric
+    # cell-pair kernel — each pair's Gaussian ladder evaluated once, but
+    # MEASURED SLOWER on v5e: its [c, 3c] pair blocks are too narrow to
+    # amortize VPU instruction overhead and pay misaligned-lane reductions;
+    # see NOTES_PERF round-2 session 6. Kept as a correctness-tested
+    # alternate for future hardware).
+    window_radial: str = 'window'
 
     @classmethod
     def from_atomic_numbers(cls, atomic_numbers, basis: Optional[ANIBasis] = None,
@@ -150,16 +158,30 @@ class ANIModel:
             self.basis.angular_cutoff + skin, self.basis.num_species,
             margin=margin, lane_multiple=lane_multiple)
         if cell_caps is not None:
-            from ..neighbors.window import plan_angular_tiers
+            from ..neighbors.window import (plan_angular_tiers,
+                                            plan_window_cells)
             ang_small, ang_big_rows = plan_angular_tiers(
                 positions, box, self.species_array, layout.present,
                 self.basis.angular_cutoff + skin, layout.ang_caps)
+            # Dedicated angular candidate grid (cells sized by the angular
+            # window): the [N, 27c] select-time candidate tensor shrinks
+            # ~(rc/ra)^3; skip it when it would not actually be smaller.
+            present = tuple(int(s) for s in np.unique(self.species_array))
+            (ang_grid, ang_ccaps, _, _) = plan_window_cells(
+                positions, box, self.species_array, present,
+                self.basis.angular_cutoff + skin, margin=margin,
+                pad_multiple=1)
+            if (ang_grid is None
+                    or np.prod(ang_grid) <= np.prod(cell_grid)):
+                ang_grid = ang_ccaps = None
             layout = dataclasses.replace(layout, cell_caps=cell_caps,
                                          cell_grid=cell_grid,
                                          small_caps=small_caps,
                                          num_big_cells=num_big,
                                          ang_small_caps=ang_small,
-                                         ang_big_rows=ang_big_rows)
+                                         ang_big_rows=ang_big_rows,
+                                         ang_cell_caps=ang_ccaps,
+                                         ang_cell_grid=ang_grid)
         return dataclasses.replace(self, aev_impl=impl,
                                    blocked_layout=layout)
 
@@ -237,7 +259,9 @@ class ANIModel:
                                  self.basis.radial_cutoff,
                                  self.basis.angular_cutoff,
                                  grouping_order=np.asarray(g.order),
-                                 present_counts=present_counts)
+                                 present_counts=present_counts,
+                                 need_shift_planes=(self.window_radial
+                                                    == 'window'))
         if self.aev_impl in ('blocked', 'pallas'):
             from ..neighbors.blocked import select_blocked
             return select_blocked(cell_list, positions, box,
@@ -297,6 +321,8 @@ class ANIModel:
             counts = {'max_neighbors': wsel.ang.max_rad,
                       'max_cell_occupancy': wsel.max_cell_sp,
                       'max_angular': wsel.ang.max_ang}
+            if self.blocked_layout.ang_cell_grid is not None:
+                counts['max_cell_occupancy_ang'] = wsel.max_cell_sp_ang
             if self.blocked_layout.num_big_cells is not None:
                 counts['num_big_cells'] = wsel.n_big_true
             if wsel.tier is not None:
@@ -335,6 +361,9 @@ class ANIModel:
             caps = {'max_neighbors': np.asarray(rad_caps),
                     'max_cell_occupancy': cell_cap,
                     'max_angular': np.asarray(self.blocked_layout.ang_caps)}
+            if 'max_cell_occupancy_ang' in raw:
+                caps['max_cell_occupancy_ang'] = np.asarray(
+                    self.blocked_layout.ang_cell_caps)
             if 'num_big_cells' in raw:
                 caps['num_big_cells'] = self.blocked_layout.num_big_cells
             if 'ang_big_rows' in raw:
@@ -367,10 +396,10 @@ class ANIModel:
             from ..neighbors.window import window_features
             from ..ops.batched_nn import ensemble_energy_grouped_rows
             g = self.grouping
-            io_g = sel.ang.inv_order[jnp.asarray(g.order)]
             feat = window_features(cell_list, positions, box, sel,
                                    self.basis, self.blocked_layout,
-                                   row_order=io_g)
+                                   atom_order=jnp.asarray(g.order),
+                                   radial_impl=self.window_radial)
             if self.nn_impl == 'fused':
                 from ..ops.pallas_nn import ensemble_energy_grouped_rows_fused
                 e_nn = ensemble_energy_grouped_rows_fused(params.ensemble,

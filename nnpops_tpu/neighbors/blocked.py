@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import minimum_image
+from ..geometry import box_transform, minimum_image
 from .cell_list import CellList
 
 Array = jnp.ndarray
@@ -73,6 +73,13 @@ class BlockedLayout:
     # it. None disables tiering.
     ang_small_caps: Optional[Tuple[int, ...]] = None
     ang_big_rows: Optional[Tuple[int, ...]] = None
+    # Dedicated ANGULAR cell grid (window mode): the per-refresh angular
+    # candidate/compaction pipeline runs on cells sized by the (much
+    # smaller) angular window instead of the radial cutoff — the [N, 27c]
+    # candidate tensor shrinks ~2.5x at ANI cutoffs. None = share the
+    # radial grid (the radial kernel itself never needs these).
+    ang_cell_caps: Optional[Tuple[int, ...]] = None
+    ang_cell_grid: Optional[Tuple[int, int, int]] = None
 
     def __post_init__(self):
         if not (len(self.present) == len(self.rad_caps) == len(self.ang_caps)):
@@ -286,7 +293,7 @@ def select_blocked(cell_list: CellList, positions: Array, box: Array,
     ncells = cell_list.num_cells
     ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
     inv = jnp.linalg.inv(box)
-    frac = positions @ inv
+    frac = box_transform(positions, inv)
     frac = frac - jnp.floor(frac)
     cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
     cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
@@ -565,6 +572,7 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
                          rad_only: bool = False,
                          layout: Optional[BlockedLayout] = None,
                          row_order: Optional[Array] = None,
+                         num_slots: Optional[int] = None,
                          ) -> BlockedPayload:
     """The differentiable per-step phase: re-scatter current positions into
     the frozen slots, fetch neighbor positions with ONE packed gather of the
@@ -591,8 +599,9 @@ def payload_from_blocked(cell_list: CellList, positions: Array, box: Array,
     """
     n = positions.shape[0]
     pos_sorted = positions[sel.order]
-    if cell_list.use_cells:
-        cc = cell_list.num_cells * cell_list.cell_capacity
+    if cell_list.use_cells or num_slots is not None:
+        cc = (num_slots if num_slots is not None
+              else cell_list.num_cells * cell_list.cell_capacity)
         slots = jnp.zeros((cc + 1, 3), positions.dtype)
         slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
     else:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import minimum_image, validate_box
+from ..geometry import box_transform, minimum_image, validate_box
 from ..ops.compaction import compact_rows
 from .pairs import MaskedPairs
 
@@ -175,7 +175,7 @@ class CellList:
         nx, ny, nz = self.ncells
         ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
         inv = jnp.linalg.inv(box)
-        frac = positions @ inv
+        frac = box_transform(positions, inv)
         frac = frac - jnp.floor(frac)
         cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
         cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
@@ -268,7 +268,7 @@ class CellList:
         nx, ny, nz = self.ncells
         ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
         inv = jnp.linalg.inv(box)
-        frac = positions @ inv
+        frac = box_transform(positions, inv)
         frac = frac - jnp.floor(frac)
         cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
         cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..geometry import box_transform
 from ..ops.pallas_window import FAR, window_radial_aev
 from .blocked import (BlockedLayout, BlockedSelection, _build_mirror,
                       payload_from_blocked)
@@ -59,7 +60,8 @@ class AngTier(NamedTuple):
     small rows only the leading ang_small_caps lanes per species block.
     Mirror indices are pre-translated into the packed two-tier flat space
     so the joint gather's adjoint stays a frozen gather."""
-    row_order: Array       # [N] tiered row -> cell-sorted atom index
+    row_order: Array       # [N] tiered row -> (angular-grid) sorted index
+    row_atom: Array        # [N] tiered row -> original atom index
     idx_big: Array         # [NB, Kat] neighbor slot ids
     mask_big: Array        # [NB, Kat]
     mir_big: Array         # [NB, Kat] packed-space mirror
@@ -77,10 +79,16 @@ class WindowSelection(NamedTuple):
 
     ``ang``: a BlockedSelection whose "radial" lanes ARE the angular window
     (``rad_caps == ang_caps``), including the mirror list for the angular
-    payload gather's adjoint.
+    payload gather's adjoint. Its slot space is the ANGULAR grid
+    (``layout.ang_cell_grid``/``ang_cell_caps``) when one is planned, else
+    the radial grid.
+
+    ``rad_*``: the radial grid's slot assignment (aliases of the ``ang``
+    fields in single-grid mode).
     """
     ang: BlockedSelection
-    shift_planes: Array    # [3, ncells, kk] periodic image shifts
+    shift_planes: Array    # [3, ncells, kk] radial-grid image shifts
+    #                        (dummy [1,1,1] unless need_shift_planes)
     wrap_shift: Array      # [N, 3] frozen box wrap per atom
     max_cell_sp: Array     # [npres] true max per-(cell, species) occupancy
     # Cell-occupancy bucketing (frozen per refresh): cells permuted so the
@@ -88,15 +96,25 @@ class WindowSelection(NamedTuple):
     # permutation when bucketing is disabled.
     cell_perm: Array       # [ncells] int32
     n_big_true: Array      # scalar int32 — true big-cell count
+    # Radial-grid slot assignment (== the ang fields in single-grid mode).
+    rad_order: Array           # [N] sorted row -> atom
+    rad_slot_of_sorted: Array  # [N]
+    rad_slot_of_atom: Array    # [N] atom -> radial slot id
+    max_cell_sp_ang: Array     # [npres] angular-grid occupancy max
     # Angular row tiering (None when disabled or no grouping_order given).
     tier: Optional[AngTier] = None
 
 
 def plan_window_cells(positions, box, species, present,
-                      cutoff: float, margin: float = 1.15):
+                      cutoff: float, margin: float = 1.15,
+                      pad_multiple: int = 8):
     """Host-side planner: (cell_grid, cell_caps, small_caps, num_big_cells)
     for species-sub-blocked window slots, or all-None when the box is under
     3 cells wide (window mode impossible).
+
+    ``pad_multiple``: sublane alignment of the total cell block — 8 for
+    grids that feed the radial Pallas kernels, 1 for the dedicated angular
+    candidate grid (whose slots never form a kernel row dimension).
 
     ``small_caps``/``num_big_cells`` implement cell-occupancy bucketing:
     most cells sit near the MEAN occupancy while capacities must hold the
@@ -124,7 +142,7 @@ def plan_window_cells(positions, box, species, present,
     counts = np.bincount(cid * npres + sp_idx,
                          minlength=ncells * npres).reshape(ncells, npres)
     caps = [int(np.ceil(m * margin)) + 1 for m in counts.max(axis=0)]
-    pad = (-sum(caps)) % 8          # sublane-align the total cell block
+    pad = (-sum(caps)) % pad_multiple   # sublane-align the cell block
     caps[-1] += pad
     caps = tuple(caps)
 
@@ -374,6 +392,7 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
         big_counts.append(jnp.sum(b.astype(jnp.int32)))
     perm = jnp.concatenate(parts)
     io_t = io_g[perm]                                  # tiered row -> sorted
+    row_atom = jnp.asarray(np.asarray(grouping_order, np.int32))[perm]
     nbr_t = nbr[io_t]
     mask_t = mask[io_t]
     srows_t = slot32[io_t]
@@ -400,7 +419,7 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
                                         srows_small, idx_small, mask_small,
                                         cc)
     return AngTier(
-        row_order=io_t,
+        row_order=io_t, row_atom=row_atom,
         idx_big=idx_big, mask_big=mask_big,
         mir_big=mir_big, slot_rows_big=srows_big,
         idx_small=idx_small, mask_small=mask_small,
@@ -509,7 +528,8 @@ def _check_window_config(cell_list: CellList, layout: BlockedLayout) -> None:
                          'with ANIModel.create_cell_list')
 
 
-def _compact_window(cc: int, layout: BlockedLayout, valid_ang: Array,
+def _compact_window(cc: int, cell_caps: Tuple[int, ...],
+                    a_caps: Tuple[int, ...], valid_ang: Array,
                     cand_slot_atom: Array):
     """Per-species angular compaction specialized to species-major windows.
 
@@ -520,12 +540,13 @@ def _compact_window(cc: int, layout: BlockedLayout, valid_ang: Array,
     full-width reductions (the generic ``blocked._compact_blocked``
     machinery that cost ~18 ms of the 26k select).
 
+    ``cell_caps``: the per-species slot capacities of the grid the window
+    was built on (the ANGULAR grid in dual-grid mode).
+
     Returns (nbr [N, Kat], mask [N, Kat], counts [N, npres],
     ang_in_rad [N, Kat]) in cell-sorted row space, lanes slot-ascending
     within each species block.
     """
-    cell_caps = layout.cell_caps
-    a_caps = layout.ang_caps
     lane_sizes = [27 * cs for cs in cell_caps]
     lane_offs = np.cumsum((0,) + tuple(lane_sizes))[:-1]
     big = jnp.int32(2 ** 31 - 1)
@@ -569,48 +590,25 @@ def _lane_tables(cell_caps: Tuple[int, ...]):
             np.concatenate(slotoff).astype(np.int32))
 
 
-def select_window(cell_list: CellList, positions: Array, box: Array,
-                  species: np.ndarray, layout: BlockedLayout,
-                  radial_cutoff: float, angular_cutoff: float,
-                  grouping_order: Optional[np.ndarray] = None,
-                  present_counts: Optional[Tuple[int, ...]] = None,
-                  ) -> WindowSelection:
-    """Freeze a window-mode selection.
-
-    ``layout``: ``ang_caps``/``present`` drive the angular compaction;
-    ``cell_caps``/``cell_grid`` the species-sub-blocked slot assignment.
-    ``grouping_order``/``present_counts`` (the model's static species
-    grouping) enable angular row tiering when the layout plans it.
-    """
-    _check_window_config(cell_list, layout)
-    positions = jax.lax.stop_gradient(positions)
-    box = jax.lax.stop_gradient(box)
-    n = positions.shape[0]
-    nx, ny, nz = cell_list.ncells
-    ncells = cell_list.num_cells
-    ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
-    cell_caps = layout.cell_caps
-    npres = len(layout.present)
+def _grid_sort(p_w: Array, box: Array, sp_idx_np: np.ndarray,
+               ncells3: Tuple[int, int, int], cell_caps: Tuple[int, ...],
+               npres: int):
+    """Species-sub-blocked slot assignment on one cell grid: sort by
+    (cell, species), rank within each segment. ``p_w`` must already be
+    wrapped into the primary box."""
+    nx, ny, nz = ncells3
+    ncells = nx * ny * nz
     c = sum(cell_caps)
     cc = ncells * c
-    kk = 27 * c
-
+    n = p_w.shape[0]
+    ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
     inv = jnp.linalg.inv(box)
-    frac = positions @ inv
-    wrap_f = jnp.floor(frac)
-    wrap_shift = wrap_f @ box
-    frac = frac - wrap_f
+    frac = box_transform(p_w, inv)
+    frac = frac - jnp.floor(frac)            # guard fp noise at 0/1
     cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0, ncells_arr - 1)
     cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
-
-    # Species-sub-blocked slot assignment: sort by (cell, species), rank
-    # within each (cell, species) segment.
-    pres_table = np.full(layout.num_species + 1, npres, np.int32)
-    for i, s in enumerate(layout.present):
-        pres_table[s] = i
-    sp_idx_np = pres_table[np.asarray(species, np.int32)]       # static
     key = cell_id * npres + jnp.asarray(sp_idx_np)
-    order = jnp.argsort(key, stable=True)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
     sorted_key = key[order]
     idx_n = jnp.arange(n, dtype=jnp.int32)
     new_seg = jnp.concatenate([jnp.ones((1,), bool),
@@ -620,73 +618,145 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     cell_sorted = sorted_key // npres
     sp_sorted = sorted_key % npres
     caps_arr = jnp.asarray(np.asarray(cell_caps, np.int32))
-    offs_np = np.cumsum((0,) + cell_caps)[:-1].astype(np.int32)
-    offs_arr = jnp.asarray(offs_np)
+    offs_arr = jnp.asarray(np.cumsum((0,) + tuple(cell_caps))[:-1]
+                           .astype(np.int32))
     slot_of_sorted = jnp.where(
         rank_sorted < caps_arr[sp_sorted],
-        cell_sorted * c + offs_arr[sp_sorted] + rank_sorted, cc + 1)
-
+        cell_sorted * c + offs_arr[sp_sorted] + rank_sorted,
+        cc + 1).astype(jnp.int32)
     seg_counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), key,
                                      num_segments=ncells * npres)
     cell_sp_counts = seg_counts.reshape(ncells, npres)
-    max_cell_sp = jnp.max(cell_sp_counts, axis=0)
-    occupancy = jnp.sum(cell_sp_counts, axis=1)
-    max_occ = jnp.max(occupancy)
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx_n, mode='drop')
+    return order, slot_of_sorted, inv_order, cell_sorted, cell_sp_counts
+
+
+def select_window(cell_list: CellList, positions: Array, box: Array,
+                  species: np.ndarray, layout: BlockedLayout,
+                  radial_cutoff: float, angular_cutoff: float,
+                  grouping_order: Optional[np.ndarray] = None,
+                  present_counts: Optional[Tuple[int, ...]] = None,
+                  need_shift_planes: bool = False) -> WindowSelection:
+    """Freeze a window-mode selection.
+
+    ``layout``: ``ang_caps``/``present`` drive the angular compaction;
+    ``cell_caps``/``cell_grid`` the radial species-sub-blocked slot
+    assignment; ``ang_cell_grid``/``ang_cell_caps`` (optional) a dedicated
+    smaller grid for the angular candidate window — the whole [N, 27c]
+    candidate/compaction phase exists only to find ANGULAR neighbors (the
+    radial kernels are window-dense and capacity-free), so running it on
+    cells sized by the angular window cuts it ~2.5x at ANI cutoffs.
+    ``grouping_order``/``present_counts`` (the model's static species
+    grouping) enable angular row tiering when the layout plans it.
+    ``need_shift_planes``: build the radial-grid 27-entry shift planes
+    (only the directed 'window' radial kernel consumes them).
+    """
+    _check_window_config(cell_list, layout)
+    positions = jax.lax.stop_gradient(positions)
+    box = jax.lax.stop_gradient(box)
+    n = positions.shape[0]
+    ncells = cell_list.num_cells
+    cell_caps = layout.cell_caps
+    npres = len(layout.present)
+    c = sum(cell_caps)
+
+    inv = jnp.linalg.inv(box)
+    frac = box_transform(positions, inv)
+    wrap_f = jnp.floor(frac)
+    wrap_shift = box_transform(wrap_f, box)
+    p_w = positions - wrap_shift
+
+    pres_table = np.full(layout.num_species + 1, npres, np.int32)
+    for i, s in enumerate(layout.present):
+        pres_table[s] = i
+    sp_idx_np = pres_table[np.asarray(species, np.int32)]       # static
+
+    # ---- Radial grid: slot assignment only (the radial kernels are
+    # window-dense; no candidate list, no capacity beyond the cell slots).
+    (order_r, slot_r, inv_r, cell_sorted_r,
+     counts_r) = _grid_sort(p_w, box, sp_idx_np, tuple(cell_list.ncells),
+                            cell_caps, npres)
+    max_cell_sp = jnp.max(counts_r, axis=0)
+    max_occ = jnp.max(jnp.sum(counts_r, axis=1))
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    rad_slot_of_atom = jnp.zeros((n,), jnp.int32).at[order_r].set(
+        slot_r, mode='drop')
 
     # Cell-occupancy classes: big cells (any species beyond small_caps)
     # sort to the front of the frozen permutation.
     if layout.small_caps is not None:
-        is_big = jnp.any(cell_sp_counts > jnp.asarray(layout.small_caps),
-                         axis=1)
+        is_big = jnp.any(counts_r > jnp.asarray(layout.small_caps), axis=1)
         cell_perm = jnp.argsort(~is_big, stable=True).astype(jnp.int32)
         n_big_true = jnp.sum(is_big.astype(jnp.int32))
     else:
         cell_perm = jnp.arange(ncells, dtype=jnp.int32)
         n_big_true = jnp.zeros((), jnp.int32)
 
-    p_w = positions - wrap_shift
+    if need_shift_planes:
+        f27_np, _, _ = _window_tables(tuple(cell_list.ncells))
+        shift27 = box_transform(jnp.asarray(f27_np), box)   # [cells, 27, 3]
+        shift_parts = [jnp.repeat(shift27.transpose(2, 0, 1), cs, axis=2)
+                       for cs in cell_caps]
+        shift_planes = jnp.concatenate(shift_parts, axis=2)  # [3, cells, kk]
+    else:
+        shift_planes = jnp.zeros((1, 1, 1), positions.dtype)
+
+    # ---- Angular grid: candidate window + per-species compaction.
+    if layout.ang_cell_grid is not None and layout.ang_cell_caps is not None:
+        a_grid = tuple(int(x) for x in layout.ang_cell_grid)
+        a_ccaps = tuple(int(x) for x in layout.ang_cell_caps)
+    else:
+        a_grid = tuple(int(x) for x in cell_list.ncells)
+        a_ccaps = cell_caps
+    same_grid = a_grid == tuple(cell_list.ncells) and a_ccaps == cell_caps
+    c_a = sum(a_ccaps)
+    ncells_a = int(np.prod(a_grid))
+    cc_a = ncells_a * c_a
+    if same_grid:
+        order, slot_of_sorted, inv_order = order_r, slot_r, inv_r
+        cell_sorted, counts_a = cell_sorted_r, counts_r
+    else:
+        (order, slot_of_sorted, inv_order, cell_sorted,
+         counts_a) = _grid_sort(p_w, box, sp_idx_np, a_grid, a_ccaps, npres)
+    max_cell_sp_ang = jnp.max(counts_a, axis=0)
     pos_sorted = p_w[order]
-    pos_slots = jnp.full((cc, 3), FAR, positions.dtype)
+    pos_slots = jnp.full((cc_a, 3), FAR, positions.dtype)
     pos_slots = pos_slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
 
-    f27_np, stencil_np, _ = _window_tables((nx, ny, nz))
-    stencil = jnp.asarray(stencil_np)
-    shift27 = jnp.asarray(f27_np) @ box                     # [ncells, 27, 3]
-    shift_parts = [jnp.repeat(shift27.transpose(2, 0, 1), cs, axis=2)
-                   for cs in cell_caps]
-    shift_planes = jnp.concatenate(shift_parts, axis=2)     # [3, cells, kk]
+    a_offs = np.cumsum((0,) + a_ccaps)[:-1].astype(np.int32)
+    f27a_np, stencil_a_np, _ = _window_tables(a_grid)
+    shift27a = box_transform(jnp.asarray(f27a_np), box)
+    shift_parts_a = [jnp.repeat(shift27a.transpose(2, 0, 1), cs, axis=2)
+                     for cs in a_ccaps]
+    shift_planes_a = jnp.concatenate(shift_parts_a, axis=2)
 
-    # Species-major candidate windows (per-species stencil expansion of the
-    # global slot planes' static species sub-columns).
-    planes = pos_slots.T.reshape(3, ncells, c)
+    planes = pos_slots.T.reshape(3, ncells_a, c_a)
     wins = []
-    for i, cs in enumerate(cell_caps):
-        sub = planes[:, :, offs_np[i]:offs_np[i] + cs]
-        wins.append(_make_stencil_window((nx, ny, nz), cs)(sub))
-    cand_cells = jnp.concatenate(wins, axis=2) + shift_planes
-    cand_pos = cand_cells.transpose(1, 0, 2)[cell_sorted]   # [N, 3, kk]
+    for i, cs in enumerate(a_ccaps):
+        sub = planes[:, :, a_offs[i]:a_offs[i] + cs]
+        wins.append(_make_stencil_window(a_grid, cs)(sub))
+    cand_cells = jnp.concatenate(wins, axis=2) + shift_planes_a
+    cand_pos = cand_cells.transpose(1, 0, 2)[cell_sorted]   # [N, 3, kk_a]
     dx = cand_pos[:, 0, :] - pos_sorted[:, 0:1]
     dy = cand_pos[:, 1, :] - pos_sorted[:, 1:2]
     dz = cand_pos[:, 2, :] - pos_sorted[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
 
-    entry_np, slotoff_np = _lane_tables(cell_caps)
-    cand_slot = (stencil[:, jnp.asarray(entry_np)] * c
-                 + jnp.asarray(slotoff_np))                 # [ncells, kk]
+    entry_np, slotoff_np = _lane_tables(a_ccaps)
+    cand_slot = (jnp.asarray(stencil_a_np)[:, jnp.asarray(entry_np)] * c_a
+                 + jnp.asarray(slotoff_np))                 # [ncells_a, kk_a]
     cand_slot_atom = cand_slot[cell_sorted]
     not_self = cand_slot_atom != slot_of_sorted[:, None]
     skin = cell_list.cutoff - radial_cutoff
     ang_window = angular_cutoff + max(skin, 0.0)
     valid_ang = (d2 < ang_window * ang_window) & not_self
 
-    nbr, mask, counts, air = _compact_window(cc, layout, valid_ang,
-                                             cand_slot_atom)
-    max_ang = jnp.max(counts, axis=0)            # [npres]; radial == angular
-    slot32 = slot_of_sorted.astype(jnp.int32)
-    order32 = order.astype(jnp.int32)
-    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx_n, mode='drop')
-    slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
-    slot_to_atom = slot_to_atom.at[slot_of_sorted].set(order32, mode='drop')
+    nbr, mask, counts, air = _compact_window(cc_a, a_ccaps, layout.ang_caps,
+                                             valid_ang, cand_slot_atom)
+    max_ang = jnp.max(counts, axis=0)            # [npres]
+    slot32 = slot_of_sorted
+    slot_to_atom = jnp.full((cc_a + 1,), n, jnp.int32)
+    slot_to_atom = slot_to_atom.at[slot_of_sorted].set(order, mode='drop')
     tiering = (grouping_order is not None and present_counts is not None
                and layout.ang_small_caps is not None
                and layout.ang_big_rows is not None)
@@ -696,9 +766,9 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
         # two flat [N*Kat] sorts it would cost.
         mirror = jnp.zeros((1, 1), jnp.int32)
     else:
-        mirror = _build_mirror(slot32, nbr, mask, cc)
+        mirror = _build_mirror(slot32, nbr, mask, cc_a)
     bsel = BlockedSelection(
-        order=order32, slot_of_sorted=slot32, inv_order=inv_order,
+        order=order, slot_of_sorted=slot32, inv_order=inv_order,
         slot_to_atom=slot_to_atom, nbr_rad=nbr, rad_mask=mask,
         nbr_ang=nbr, ang_mask=mask, max_rad=max_ang, max_ang=max_ang,
         max_cell_occupancy=max_occ, mirror=mirror, ang_in_rad=air)
@@ -707,10 +777,13 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
         tier = _build_tier_packed(nbr, mask, counts, slot32, inv_order,
                                   grouping_order,
                                   tuple(int(x) for x in present_counts),
-                                  layout, cc)
+                                  layout, cc_a)
     return WindowSelection(ang=bsel, shift_planes=shift_planes,
                            wrap_shift=wrap_shift, max_cell_sp=max_cell_sp,
                            cell_perm=cell_perm, n_big_true=n_big_true,
+                           rad_order=order_r, rad_slot_of_sorted=slot_r,
+                           rad_slot_of_atom=rad_slot_of_atom,
+                           max_cell_sp_ang=max_cell_sp_ang,
                            tier=tier)
 
 
@@ -733,12 +806,13 @@ def _part_deltas(out3, centers, mask, box):
     return jnp.where(mask[None], deltas, 0.0)
 
 
-def _tiered_angular(cell_list: CellList, positions: Array, box: Array,
+def _tiered_angular(positions: Array, box: Array,
                     wsel: WindowSelection, basis, layout: BlockedLayout,
                     cc: int, interpret):
     """Two-tier angular AEV: big rows against the full triple table, small
     rows against the (quadratically smaller) small-capacity table, via one
-    joint mirror-adjoint gather. Returns (tiered row_order, angular)."""
+    joint mirror-adjoint gather. ``cc`` is the ANGULAR grid's slot count.
+    Returns (tiered row_atom, angular)."""
     from ..ops.pallas_aev import angular_aev_pallas
     sel = wsel.ang
     t = wsel.tier
@@ -764,52 +838,82 @@ def _tiered_angular(cell_list: CellList, positions: Array, box: Array,
                                interpret=interpret,
                                rad_width=deltas_s.shape[2])
     angular = jnp.concatenate([ang_b, ang_s], axis=0)[t.concat_pos]
-    return t.row_order, angular
+    return t.row_atom, angular
 
 
 def window_features(cell_list: CellList, positions: Array, box: Array,
                     wsel: WindowSelection, basis, layout: BlockedLayout,
-                    row_order: Optional[Array] = None,
-                    interpret: Optional[bool] = None) -> Array:
+                    atom_order: Optional[Array] = None,
+                    interpret: Optional[bool] = None,
+                    radial_impl: str = 'window') -> Array:
     """Full AEV [N, aev_length] (reference layout: radial [S*R] ‖ angular
     [P*A], SymmetryFunctions.py:120-122) for window mode, differentiable in
-    ``positions``. ``row_order`` as in ``payload_from_blocked``."""
+    ``positions``.
+
+    ``atom_order``: optional [N] atom index per output row (e.g. the
+    model's static species grouping); default = original atom order.
+    When tiering is active the rows come out in the tier's big-first
+    permutation of that order instead (species blocks preserved).
+
+    ``radial_impl``: 'pair' (symmetric cell-pair kernel, each atom pair's
+    Gaussian ladder evaluated once — ``ops.pallas_zpair``) or 'window'
+    (directed 27-cell window kernel, supports cell-occupancy bucketing;
+    needs ``select_window(need_shift_planes=True)``)."""
     from ..ops.pallas_aev import angular_aev_pallas
     sel = wsel.ang
     n = positions.shape[0]
     ncells = cell_list.num_cells
     cell_caps = layout.cell_caps
     c = sum(cell_caps)
-    cc = ncells * c
+    cc = ncells * c                                         # radial slots
+    if layout.ang_cell_grid is not None and layout.ang_cell_caps is not None:
+        cc_a = int(np.prod(layout.ang_cell_grid)) * sum(layout.ang_cell_caps)
+    else:
+        cc_a = cc
     a_layout = ang_as_rad_layout(layout)
+    ao = (jnp.asarray(atom_order, jnp.int32) if atom_order is not None
+          else jnp.arange(n, dtype=jnp.int32))
 
     if wsel.tier is not None:
-        row_order, angular = _tiered_angular(
-            cell_list, positions, box, wsel, basis, layout, cc, interpret)
+        row_atom, angular = _tiered_angular(
+            positions, box, wsel, basis, layout, cc_a, interpret)
     else:
         # --- Angular: compacted-lane payload (mirror-adjoint gather) + the
         # fused Pallas angular kernel, all shared with the blocked path.
         pay = payload_from_blocked(cell_list, positions, box, sel,
-                                   rad_only=True, row_order=row_order)
+                                   rad_only=True, row_order=sel.inv_order[ao],
+                                   num_slots=cc_a)
         angular = angular_aev_pallas(pay.rad_deltas, pay.ang_mask, basis,
                                      a_layout, interpret=interpret,
                                      rad_width=pay.rad_deltas.shape[2])
+        row_atom = ao
 
-    # --- Radial: dense per-cell window kernel, capacity-free.
+    # --- Radial: dense window kernels on the radial grid, capacity-free.
     p_w = positions - wsel.wrap_shift
-    pos_sorted = p_w[sel.order]
+    pos_sorted = p_w[wsel.rad_order]
     slots = jnp.full((cc, 3), FAR, positions.dtype)
-    slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
-    planes = slots.T.reshape(3, ncells, c)
+    slots = slots.at[wsel.rad_slot_of_sorted].set(pos_sorted, mode='drop')
+    npres = len(layout.present)
+    num_r = basis.num_radial
     offs = np.cumsum((0,) + cell_caps)[:-1]
+    if radial_impl == 'pair':
+        from ..ops.pallas_zpair import pair_radial_aev
+        rad_slots = pair_radial_aev(
+            slots, box, cell_list.ncells, cell_caps,
+            basis.radial_cutoff, basis.radial_eta, basis.radial_rs,
+            basis.torchani, interpret=interpret)
+        return _radial_rows_from_slots(rad_slots, angular, wsel, layout,
+                                       basis, n, cc, num_r, row_atom)
+    if wsel.shift_planes.shape[1] != ncells:
+        raise ValueError("radial_impl='window' needs a selection built "
+                         'with need_shift_planes=True')
+    planes = slots.T.reshape(3, ncells, c)
     wins = []
     for i, cs in enumerate(cell_caps):
         sub = planes[:, :, int(offs[i]):int(offs[i]) + cs]
         wins.append(_make_stencil_window(cell_list.ncells, cs)(sub))
     win = jnp.concatenate(wins, axis=2) + wsel.shift_planes
     centers = slots.reshape(ncells, c, 3)
-    npres = len(layout.present)
-    num_r = basis.num_radial
     if layout.small_caps is None or layout.num_big_cells is None:
         rad_slots = window_radial_aev(
             win[0], win[1], win[2], centers,
@@ -852,9 +956,18 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
         inv_perm = jnp.zeros((ncells,), jnp.int32).at[perm].set(
             jnp.arange(ncells, dtype=jnp.int32))
         rad_slots = rad_perm[inv_perm]                 # coarse row gather
+    return _radial_rows_from_slots(rad_slots, angular, wsel, layout, basis,
+                                   n, cc, num_r, row_atom)
+
+
+def _radial_rows_from_slots(rad_slots, angular, wsel, layout, basis, n, cc,
+                            num_r, row_atom):
+    """Slot-space radial AEV -> per-atom rows in the full [S*R] species
+    layout (``row_atom``: atom index per output row), concatenated with the
+    angular block."""
+    npres = len(layout.present)
     rad_flat = rad_slots.reshape(cc, npres * num_r)
-    io = sel.inv_order if row_order is None else row_order
-    row_slots = jnp.minimum(sel.slot_of_sorted[io], cc - 1)
+    row_slots = jnp.minimum(wsel.rad_slot_of_atom[row_atom], cc - 1)
     radial_rows = rad_flat[row_slots]                       # [N, P*R]
     pieces = []
     for s in range(basis.num_species):

@@ -55,6 +55,68 @@ FAR = 1.0e6
 SELF_STENCIL_INDEX = 13
 
 
+def make_radial_ladder(rc: float, etas: Tuple[float, ...],
+                       rs_list: Tuple[float, ...]):
+    """Build the lazy Gaussian-grid generator shared by the radial kernels.
+
+    Uniform-grid Gaussian ladder: for an evenly spaced rs grid with one
+    eta, e_{q+1}/e_q = exp(2 eta d u_q - eta d^2) factors into one
+    pair-dependent base times constant powers, so each HALF of the grid
+    costs 2 exps + 1 reciprocal + 2 multiplies per point instead of one
+    exp per point. exp is the kernel's dominant cost (16 per pair slot,
+    multi-pass on the VPU). Two ladder centers bound the in-half distance
+    so the f32 underflow edge contributes < ~3e-9 absolute error
+    (vs sums of O(1)); exact-match tests guard the fallback path.
+
+    Returns ``iter_radial_exps(r)`` yielding ``(q, e_q(r))`` in ladder
+    order — LAZY, so only the running product stays live (holding all n_r
+    arrays at once was measured to spill VMEM and triple the backward
+    kernel). r is clamped to the cutoff first: beyond rc every consumer
+    multiplies by an exact-zero fc/mask, and unclamped FAR-sentinel
+    distances would overflow the ladder base to inf (0 * inf = NaN).
+    """
+    n_r = len(rs_list)
+    diffs = np.diff(rs_list) if n_r > 1 else np.zeros(0)
+    ladder = (n_r >= 8 and len(set(etas)) == 1
+              and np.all(np.abs(diffs - diffs[0]) < 1e-5 * abs(diffs[0])))
+    if ladder:
+        l_eta = etas[0]
+        l_d = float(diffs[0])
+        l_c1 = math.exp(-l_eta * l_d * l_d)
+        l_c2 = l_c1 * l_c1
+        n_half = (n_r + 7) // 8
+        bounds = [(h * n_r // n_half, (h + 1) * n_r // n_half)
+                  for h in range(n_half)]
+
+    def iter_radial_exps(r):
+        if not ladder:
+            for q in range(n_r):
+                yield q, jnp.exp(-etas[q] * (r - rs_list[q]) ** 2)
+            return
+        r = jnp.minimum(r, rc)
+        for h0, h1 in bounds:
+            s0 = (h0 + h1) // 2
+            u0 = r - rs_list[s0]
+            e0 = jnp.exp(-l_eta * (u0 * u0))
+            t = jnp.exp((2.0 * l_eta * l_d) * u0)
+            yield s0, e0
+            run = t * l_c1
+            cur = e0
+            for q in range(s0 + 1, h1):
+                cur = cur * run
+                run = run * l_c2
+                yield q, cur
+            t_inv = 1.0 / t
+            run = t_inv * l_c1
+            cur = e0
+            for q in range(s0 - 1, h0 - 1, -1):
+                cur = cur * run
+                run = run * l_c2
+                yield q, cur
+
+    return iter_radial_exps
+
+
 def make_window_radial_kernel(radial_cutoff: float,
                               radial_eta: Sequence[float],
                               radial_rs: Sequence[float],
@@ -129,58 +191,7 @@ def make_window_radial_kernel(radial_cutoff: float,
     sp_shift = [int(wb[s] + SELF_STENCIL_INDEX * cell_caps[s] - ctr_offs[s])
                 for s in range(npres)]
 
-    # Uniform-grid Gaussian ladder: for an evenly spaced rs grid with one
-    # eta, e_{q+1}/e_q = exp(2 eta d u_q - eta d^2) factors into one
-    # pair-dependent base times constant powers, so each HALF of the grid
-    # costs 2 exps + 1 reciprocal + 2 multiplies per point instead of one
-    # exp per point. exp is the kernel's dominant cost (16 per pair slot,
-    # multi-pass on the VPU). Two ladder centers bound the in-half distance
-    # so the f32 underflow edge contributes < ~3e-9 absolute error
-    # (vs sums of O(1)); exact-match tests guard the fallback path.
-    diffs = np.diff(rs_list) if n_r > 1 else np.zeros(0)
-    ladder = (n_r >= 8 and len(set(etas)) == 1
-              and np.all(np.abs(diffs - diffs[0]) < 1e-5 * abs(diffs[0])))
-    if ladder:
-        l_eta = etas[0]
-        l_d = float(diffs[0])
-        l_c1 = math.exp(-l_eta * l_d * l_d)
-        l_c2 = l_c1 * l_c1
-        n_half = (n_r + 7) // 8
-        bounds = [(h * n_r // n_half, (h + 1) * n_r // n_half)
-                  for h in range(n_half)]
-
-    def iter_radial_exps(r):
-        """Yield (q, e_q(r)) in ladder order — LAZY, so only the running
-        product stays live (holding all n_r [c, kk] arrays at once was
-        measured to spill VMEM and triple the backward kernel).
-
-        r is clamped to the cutoff first: beyond rc every consumer
-        multiplies by an exact-zero fc/mask, and unclamped FAR-sentinel
-        distances would overflow the ladder base to inf (0 * inf = NaN)."""
-        if not ladder:
-            for q in range(n_r):
-                yield q, jnp.exp(-etas[q] * (r - rs_list[q]) ** 2)
-            return
-        r = jnp.minimum(r, rc)
-        for h0, h1 in bounds:
-            s0 = (h0 + h1) // 2
-            u0 = r - rs_list[s0]
-            e0 = jnp.exp(-l_eta * (u0 * u0))
-            t = jnp.exp((2.0 * l_eta * l_d) * u0)
-            yield s0, e0
-            run = t * l_c1
-            cur = e0
-            for q in range(s0 + 1, h1):
-                cur = cur * run
-                run = run * l_c2
-                yield q, cur
-            t_inv = 1.0 / t
-            run = t_inv * l_c1
-            cur = e0
-            for q in range(s0 - 1, h0 - 1, -1):
-                cur = cur * run
-                run = run * l_c2
-                yield q, cur
+    iter_radial_exps = make_radial_ladder(rc, etas, rs_list)
 
     def pair_geometry(candx, candy, candz, centers):
         """[c, kk] pair deltas/r/fc from a [1, kk] window and [c, 3] centers.

@@ -33,7 +33,7 @@ import numpy as np
 from jax.scipy.special import erfc
 
 from ..config import PMEConfig
-from ..geometry import invert_box, validate_box
+from ..geometry import box_transform, invert_box, validate_box
 from ..neighbors.pairs import MaskedPairs, neighbor_pairs_masked
 
 Array = jnp.ndarray
@@ -164,7 +164,7 @@ def _atom_chunk_data(positions: Array, charges: Array, box: Array,
     gx, gy, gz = config.grid_shape
     order = config.order
     recip = invert_box(box)
-    t = positions @ recip
+    t = box_transform(positions, recip)
     t = (t - jnp.floor(t)) * jnp.asarray([gx, gy, gz], positions.dtype)
     ti = jnp.floor(t)
     dr = t - ti
@@ -316,7 +316,7 @@ def spread_charges(positions: Array, charges: Array, box: Array,
     gx, gy, gz = config.grid_shape
     order = config.order
     recip = invert_box(box)
-    t = positions @ recip                                   # fractional coords
+    t = box_transform(positions, recip)                                   # fractional coords
     t = (t - jnp.floor(t)) * jnp.asarray([gx, gy, gz], positions.dtype)
     ti = jnp.floor(t)
     dr = t - ti                                             # in [0, 1)

@@ -107,7 +107,9 @@ def test_window_cell_bucketing_parity(setup):
     bucketed_layout = dataclasses.replace(
         window.blocked_layout, small_caps=small_caps,
         num_big_cells=cl.num_cells - 8)    # leave some cells in each class
-    bucketed = dataclasses.replace(window, blocked_layout=bucketed_layout)
+    # Bucketing applies to the directed 27-cell window kernel only.
+    bucketed = dataclasses.replace(window, blocked_layout=bucketed_layout,
+                                   window_radial='window')
     box = jnp.asarray(water.box)
     pos = jnp.asarray(water.positions)
     # The forced capacities must actually hold (otherwise the soft-failure
@@ -127,3 +129,38 @@ def test_window_requires_cells():
     model = model.with_blocked_layout(water.positions, water.box,
                                       impl='window')
     assert model.aev_impl == 'pallas'         # automatic fallback
+
+
+def test_pair_radial_matches_window_radial(setup):
+    """The symmetric cell-pair radial kernel (ops.pallas_zpair) reproduces
+    the directed 27-cell window kernel to f32 noise."""
+    water, window, pallas, params, cl = setup
+    paired = dataclasses.replace(window, window_radial='pair')
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    e1, f1 = window.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = paired.energy_and_forces_fused(params, pos, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-6)
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=1e-4, atol=2e-6 * scale)
+
+
+def test_window_wrapped_positions_match_pallas(setup):
+    """Atoms translated OUT of the primary box (so the frozen wrap_shift is
+    nonzero) still match the min-image pallas path tightly.
+
+    Regression test: the wrap/stencil image shifts were once computed with a
+    default-precision (single-bf16-pass) matmul against the box vectors,
+    displacing every wrapped atom by up to box * 2^-9 — ~0.03 A at a
+    production box — and silently corrupting boundary forces."""
+    water, window, pallas, params, cl = setup
+    box = jnp.asarray(water.box)
+    # A fractional translation pushes ~half the atoms across the boundary;
+    # physics is translation invariant, and the pallas path wraps by exact
+    # elementwise minimum-image rounding.
+    pos = jnp.asarray(water.positions) - 0.37 * jnp.diag(box)[None, :]
+    e1, f1 = pallas.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = window.energy_and_forces_fused(params, pos, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-5)
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
