@@ -148,20 +148,22 @@ def bench_pme(num_molecules, iters):
     q = jnp.asarray(water.charges)
     cutoff = 9.0 if water.box[0, 0] > 18 else float(water.box[0, 0]) / 2 - 0.01
 
-    # O(N) direct space via the cell list once the box can host one (the
-    # standalone O(N^2) enumeration is 3.4e8 candidate pairs at 26k atoms).
-    cell_list = None
-    if water.box[0, 0] > 3 * cutoff:
-        from nnpops_tpu.neighbors.cell_list import CellList
-        cell_list = CellList.create(water.box, cutoff,
-                                    capacity=int(0.1 * 4.2 * cutoff ** 3) + 32)
+    # O(N) direct space once the box can host a cell decomposition: the
+    # dense window Pallas kernel (no pair list at all; the flat-pair cell
+    # route was 438 ms of a 454 ms 26k evaluation, NOTES_PERF session 6).
+    # The standalone O(N^2) enumeration is 3.4e8 candidate pairs at 26k.
+    window_plan = pme.plan_direct_window(water.box, cutoff, water.positions)
+    if window_plan[0] is not None:
+        def direct(p):
+            return pme.compute_direct_window(p, q, cutoff, box, window_plan)
+    else:
+        def direct(p):
+            return pme.compute_direct(p, q, cutoff, box, max_num_pairs=-1)
 
     @jax.jit
     def energy_forces(pos):
         def total(p):
-            return (pme.compute_direct(p, q, cutoff, box,
-                                       cell_list=cell_list)
-                    + pme.compute_reciprocal(p, q, box))
+            return direct(p) + pme.compute_reciprocal(p, q, box)
         return jax.value_and_grad(total)(pos)
 
     ms = _timeit(energy_forces, jnp.asarray(water.positions), iters=iters)

@@ -484,15 +484,15 @@ def _make_stencil_window(ncells3: Tuple[int, int, int], c: int):
     @jax.custom_vjp
     def stencil_window(planes):
         stencil = jnp.asarray(stencil_np)
-        return planes[:, stencil].reshape(3, ncells, kk)
+        return planes[:, stencil].reshape(planes.shape[0], ncells, kk)
 
     def _fwd(planes):
         return stencil_window(planes), None
 
     def _bwd(_, g):
         rev_flat = jnp.asarray(rev_flat_np)
-        gr = g.reshape(3, ncells * 27, c)
-        dA = jnp.sum(gr[:, rev_flat], axis=2)              # [3, ncells, c]
+        gr = g.reshape(g.shape[0], ncells * 27, c)
+        dA = jnp.sum(gr[:, rev_flat], axis=2)         # [planes, ncells, c]
         return (dA,)
 
     stencil_window.defvjp(_fwd, _bwd)

@@ -127,22 +127,31 @@ def pme_direct_energy(positions: Array, charges: Array, pairs: MaskedPairs,
     alpha_r = alpha * r
     e_pair = coulomb * q1 * q2 * erfc(alpha_r) / r
     energy = jnp.sum(jnp.where(include, e_pair, 0.0))
+    return energy - pme_exclusion_compensation(positions, charges,
+                                               exclusions, alpha, coulomb)
 
-    # Compensation over the exclusion table itself, deduped to j > i.
+
+def pme_exclusion_compensation(positions: Array, charges: Array,
+                               exclusions: Array, alpha: float,
+                               coulomb: float) -> Array:
+    """The erf-damped energy of the excluded pairs (deduped to j > i),
+    which reciprocal space incorrectly added and direct space must
+    subtract — computed from the UNWRAPPED displacement (pme.py:25-33,
+    pmeCPU.cpp:134-157)."""
     n, e = exclusions.shape
-    if e > 0:
-        i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, e))
-        j_idx = exclusions
-        valid = j_idx > i_idx                                # also rejects -1 padding
-        j_safe = jnp.where(valid, j_idx, 0)
-        dr = positions[i_idx.reshape(-1)] - positions[j_safe.reshape(-1)]
-        d2 = jnp.sum(dr * dr, axis=-1).reshape(n, e)
-        d2 = jnp.where(valid, d2, 1.0)
-        rr = jnp.sqrt(d2)
-        erf_term = 1.0 - erfc(alpha * rr)
-        e_excl = coulomb * charges[i_idx] * charges[j_safe] * erf_term / rr
-        energy = energy - jnp.sum(jnp.where(valid, e_excl, 0.0))
-    return energy
+    if e == 0:
+        return jnp.zeros((), positions.dtype)
+    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, e))
+    j_idx = exclusions
+    valid = j_idx > i_idx                                # also rejects -1 padding
+    j_safe = jnp.where(valid, j_idx, 0)
+    dr = positions[i_idx.reshape(-1)] - positions[j_safe.reshape(-1)]
+    d2 = jnp.sum(dr * dr, axis=-1).reshape(n, e)
+    d2 = jnp.where(valid, d2, 1.0)
+    rr = jnp.sqrt(d2)
+    erf_term = 1.0 - erfc(alpha * rr)
+    e_excl = coulomb * charges[i_idx] * charges[j_safe] * erf_term / rr
+    return jnp.sum(jnp.where(valid, e_excl, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +460,50 @@ class PME:
                                           box_vectors)
         return pme_direct_energy(positions, charges, pairs, self.exclusions,
                                  self.config.alpha, self.config.coulomb)
+
+    def plan_direct_window(self, box_vectors, cutoff: float, positions,
+                           margin: float = 1.25):
+        """Host-side plan (cell grid, capacity) for the window direct-space
+        kernel, sized from the true cell occupancy of ``positions`` times
+        ``margin``; None when the box is under 3 cells of ``cutoff``."""
+        from .pallas_pme import plan_pme_window
+        return plan_pme_window(np.asarray(box_vectors), cutoff, positions,
+                               margin=margin)
+
+    def compute_direct_window(self, positions: Array, charges: Array,
+                              cutoff: float, box_vectors: Array,
+                              window_plan) -> Array:
+        """Direct-space energy via the dense per-cell window Pallas kernel
+        (``ops.pallas_pme``) — no pair list, no per-pair gathers; the
+        O(N)-scalable production path (the flat-pair route was measured at
+        438 ms for 26k atoms, the window kernel replaces it wholesale).
+
+        ``window_plan``: the (cell_grid, capacity) pair from
+        ``plan_direct_window`` (host-side, once per box size). Overflow of
+        the per-cell capacity is observable via
+        ``direct_window_overflow`` — the usual soft-failure contract
+        (getNeighborPairs.py:77-83).
+        """
+        from .pallas_pme import pme_direct_window
+        self._check(positions, charges)
+        if cutoff <= 0:
+            raise ValueError('cutoff must be positive')
+        if not isinstance(box_vectors, jax.core.Tracer):
+            validate_box(box_vectors, cutoff)
+        ncells3, capacity = window_plan
+        energy, _ = pme_direct_window(
+            positions, charges, box_vectors, self.exclusions, cutoff,
+            self.config.alpha, self.config.coulomb, ncells3, capacity)
+        return energy - pme_exclusion_compensation(
+            positions, charges, self.exclusions, self.config.alpha,
+            self.config.coulomb)
+
+    def direct_window_overflow(self, positions: Array, box_vectors: Array,
+                               window_plan) -> Array:
+        """TRUE max per-cell occupancy of the window direct path, as data —
+        compare against ``window_plan[1]`` between jitted calls."""
+        from .pallas_pme import pme_window_occupancy
+        return pme_window_occupancy(positions, box_vectors, window_plan[0])
 
     def compute_reciprocal(self, positions: Array, charges: Array,
                            box_vectors: Array) -> Array:
