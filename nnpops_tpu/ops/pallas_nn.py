@@ -14,14 +14,21 @@ The custom VJP returns zero cotangents for weights/biases — training uses
 the XLA path (``ensemble_energy`` / ``apply_species_net``), which has full
 weight gradients.
 
+The kernel is VPU-elementwise bound (CELU/bias/select chains — measured:
+matmuls fully overlap, no-matmul == full kernel time), so under autodiff
+the forward runs a FUSED energy+gradient kernel: the input gradient is
+linear in the per-atom cotangent, so one pass emits ``(e, dx1 = dx|g=1)``
+with the whole CELU chain (exp included) computed once and shared between
+the activation and its derivative; the VJP is then a single ``g * dx1``
+multiply. vs the recompute-style separate backward kernel this replaces:
+grouped fwd+grad 4.7 -> 3.36 ms at 26k rows (probe_nn6).
+
 Math parity: four linear layers with CELU(alpha=0.1) between them and a
-model-mean reduction (BatchedNN.py:90-111). Matmuls run at
-``Precision.DEFAULT`` — one bf16 MXU pass with f32 accumulation — which is
-the bf16 compute contract of ``batched_nn._dot_bf16`` without bf16 vector
-types in the kernel (their dot_general lowering trips a Mosaic
-``vector.broadcast`` verification bug on this backend). The out=1 last
-layer is evaluated as an elementwise product accumulated across models
-with ONE final lane reduction: Mosaic lowers a [B, d] x [1, d] dot as a
+model-mean reduction (BatchedNN.py:90-111). Matmuls run with true bf16
+operands and f32 accumulation — the bf16 compute contract of
+``batched_nn._dot_bf16``. The out=1 last layer is evaluated as an
+elementwise product accumulated across models with ONE final lane
+reduction: Mosaic lowers a [B, d] x [1, d] dot as a
 ``vector.multi_reduction`` and rejects non-constant accumulators.
 """
 from __future__ import annotations
@@ -84,10 +91,13 @@ def make_fused_species_net(dims: Tuple[int, ...], num_models: int,
 
     def matmul(h, w, side: str):
         # h [B, a] x w [out, in]: side 'fwd' contracts a=in -> [B, out];
-        # side 'bwd' contracts a=out -> [B, in].
+        # side 'bwd' contracts a=out -> [B, in]. True bf16 operands with f32
+        # accumulation (the bf16 compute contract); the MXU passes fully
+        # overlap the VPU elementwise work, which is what bounds this kernel
+        # (probe_nn5: no-matmul == full within noise at 17k rows).
         dim = 1 if side == 'fwd' else 0
         return jax.lax.dot_general(
-            h, w, (((1,), (dim,)), ((), ())),
+            h.astype(bf16), w, (((1,), (dim,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=f32)
 
@@ -96,13 +106,13 @@ def make_fused_species_net(dims: Tuple[int, ...], num_models: int,
             w_refs = refs[:n_layers]
             b_refs = refs[n_layers:2 * n_layers]
             out_ref = refs[2 * n_layers]
-            x = x_ref[...]                                  # [B, in0]
+            x16 = x_ref[...].astype(bf16)                   # [B, in0]
             acc = jnp.zeros((blk, dims[-2]), f32)
             bias_sum = jnp.zeros((blk, 1), f32)
             for mi in range(m):
-                h = x
+                h = x16
                 for l in range(n_layers - 1):
-                    z = (matmul(h, w_refs[l][mi].astype(f32), 'fwd')
+                    z = (matmul(h, w_refs[l][mi], 'fwd')
                          + b_refs[l][mi])                   # [B, out_l] f32
                     h = jnp.where(z > 0, z,
                                   CELU_ALPHA * (jnp.exp(z / CELU_ALPHA)
@@ -113,35 +123,46 @@ def make_fused_species_net(dims: Tuple[int, ...], num_models: int,
                             + bias_sum) * (1.0 / m)
         return fwd_kernel
 
-    def make_bwd_kernel(blk):
-        def bwd_kernel(x_ref, *refs):
+    def make_fwdgrad_kernel(blk):
+        """Energy AND input gradient at unit cotangent in ONE pass.
+
+        The input gradient is LINEAR in the per-atom output cotangent g
+        (the chain is elementwise multiplies and matmuls), so the kernel
+        emits dx1 = dx|g=1 and the VJP is just g * dx1 — and every CELU
+        exp is computed ONCE and shared between the activation and its
+        derivative (the separate recompute-bwd kernel paid ~3x the
+        transcendental cost, which dominates this kernel on the VPU).
+        """
+        def fwdgrad_kernel(x_ref, *refs):
             w_refs = refs[:n_layers]
             b_refs = refs[n_layers:2 * n_layers]
-            g_ref = refs[2 * n_layers]
+            out_ref = refs[2 * n_layers]
             dx_ref = refs[2 * n_layers + 1]
-            x = x_ref[...]
-            g = g_ref[...] * (1.0 / m)                      # [B, 1] f32
+            x16 = x_ref[...].astype(bf16)
+            acc = jnp.zeros((blk, dims[-2]), f32)
+            bias_sum = jnp.zeros((blk, 1), f32)
             dx = jnp.zeros((blk, dims[0]), f32)
             for mi in range(m):
-                h = x
-                zs = []
+                h = x16
+                derivs = []
                 for l in range(n_layers - 1):
-                    z = (matmul(h, w_refs[l][mi].astype(f32), 'fwd')
-                         + b_refs[l][mi])
-                    zs.append(z)
-                    h = jnp.where(z > 0, z,
-                                  CELU_ALPHA * (jnp.exp(z / CELU_ALPHA)
-                                                - 1.0))
-                # Last layer (out=1): d_h3 = g * w4_row, no dot.
-                d = g * w_refs[n_layers - 1][mi].astype(f32)  # [B, d3]
+                    z = (matmul(h, w_refs[l][mi], 'fwd')
+                         + b_refs[l][mi])                   # [B, out_l] f32
+                    e_z = jnp.exp(z / CELU_ALPHA)
+                    h = jnp.where(z > 0, z, CELU_ALPHA * (e_z - 1.0))
+                    derivs.append(jnp.where(z > 0, 1.0, e_z))
+                w_last = w_refs[n_layers - 1][mi].astype(f32)  # [1, d3]
+                acc = acc + h * w_last
+                bias_sum = bias_sum + b_refs[n_layers - 1][mi]
+                d = jnp.broadcast_to(w_last, (blk, dims[-2]))
                 for l in range(n_layers - 2, -1, -1):
-                    z = zs[l]
-                    d = d * jnp.where(z > 0, 1.0,
-                                      jnp.exp(z / CELU_ALPHA))
-                    d = matmul(d, w_refs[l][mi].astype(f32), 'bwd')
+                    d = d * derivs[l]
+                    d = matmul(d, w_refs[l][mi], 'bwd')
                 dx = dx + d
-            dx_ref[...] = dx
-        return bwd_kernel
+            out_ref[...] = (jnp.sum(acc, axis=1, keepdims=True)
+                            + bias_sum) * (1.0 / m)
+            dx_ref[...] = dx * (1.0 / m)
+        return fwdgrad_kernel
 
     def row_spec(blk, w):
         return pl.BlockSpec((blk, w), lambda i: (i, 0),
@@ -167,29 +188,34 @@ def make_fused_species_net(dims: Tuple[int, ...], num_models: int,
             interpret=interpret,
         )(x, *weights, *biases)
 
-    def run_bwd(x, weights, biases, g):
+    def run_fwdgrad(x, weights, biases):
         n = x.shape[0]
         blk = bwd_block
         return pl.pallas_call(
-            make_bwd_kernel(blk), grid=(n // blk,),
-            in_specs=([row_spec(blk, dims[0])] + wb_specs(weights, biases)
-                      + [row_spec(blk, 1)]),
-            out_specs=row_spec(blk, dims[0]),
-            out_shape=jax.ShapeDtypeStruct((n, dims[0]), f32),
+            make_fwdgrad_kernel(blk), grid=(n // blk,),
+            in_specs=[row_spec(blk, dims[0])] + wb_specs(weights, biases),
+            out_specs=(row_spec(blk, 1), row_spec(blk, dims[0])),
+            out_shape=(jax.ShapeDtypeStruct((n, 1), f32),
+                       jax.ShapeDtypeStruct((n, dims[0]), f32)),
             interpret=interpret,
-        )(x, *weights, *biases, g)
+        )(x, *weights, *biases)
 
     @jax.custom_vjp
     def fused(x, weights, biases):
+        # Primal-only calls (no grad) take the cheap fwd kernel; under
+        # autodiff jax runs _fwd instead, which fuses the unit-cotangent
+        # gradient into the same pass (dx is linear in g, so the saved
+        # dx1 closes over no cotangent).
         return run_fwd(x, weights, biases)
 
     def _fwd(x, weights, biases):
-        return run_fwd(x, weights, biases), (x, weights, biases)
+        e, dx1 = run_fwdgrad(x, weights, biases)
+        return e, (dx1, jnp.zeros((0,), x.dtype), weights, biases)
 
     def _bwd(res, g):
-        x, weights, biases = res
-        dx = run_bwd(x, weights, biases, g.astype(f32))
-        return (dx.astype(x.dtype),
+        dx1, x_token, weights, biases = res
+        dx = g.astype(f32) * dx1
+        return (dx.astype(x_token.dtype),
                 tuple(jnp.zeros_like(w) for w in weights),
                 tuple(jnp.zeros_like(bb) for bb in biases))
 
