@@ -126,7 +126,8 @@ class ANIModel:
     def with_blocked_layout(self, positions, box, margin: float = 1.2,
                             lane_multiple: int = 1,
                             impl: str = 'blocked',
-                            skin: float = 0.0) -> 'ANIModel':
+                            skin: float = 0.0,
+                            radial_impl: Optional[str] = None) -> 'ANIModel':
         """Return a copy configured for the species-blocked AEV path, with
         per-species capacities planned from this configuration (the blocked
         analog of native.plan_capacities). ``impl``: 'blocked' (XLA),
@@ -182,8 +183,21 @@ class ANIModel:
                                          ang_big_rows=ang_big_rows,
                                          ang_cell_caps=ang_ccaps,
                                          ang_cell_grid=ang_grid)
+        window_radial = self.window_radial
+        if impl == 'window' and radial_impl is not None:
+            if radial_impl == 'cluster':
+                from ..neighbors.clusters import plan_clusters
+                plan = plan_clusters(positions, box, self.species_array,
+                                     self.basis.radial_cutoff, skin=skin,
+                                     margin=margin)
+                if plan is None:
+                    radial_impl = 'window'   # unsuitable box: keep window
+                else:
+                    layout = dataclasses.replace(layout, cluster_plan=plan)
+            window_radial = radial_impl
         return dataclasses.replace(self, aev_impl=impl,
-                                   blocked_layout=layout)
+                                   blocked_layout=layout,
+                                   window_radial=window_radial)
 
     def create_cell_list(self, box, skin: float = 0.0):
         """The matching CellList for this model's planned layout: window
@@ -261,7 +275,11 @@ class ANIModel:
                                  grouping_order=np.asarray(g.order),
                                  present_counts=present_counts,
                                  need_shift_planes=(self.window_radial
-                                                    == 'window'))
+                                                    == 'window'),
+                                 cluster_plan=(
+                                     self.blocked_layout.cluster_plan
+                                     if self.window_radial == 'cluster'
+                                     else None))
         if self.aev_impl in ('blocked', 'pallas'):
             from ..neighbors.blocked import select_blocked
             return select_blocked(cell_list, positions, box,

@@ -80,6 +80,10 @@ class BlockedLayout:
     # radial grid (the radial kernel itself never needs these).
     ang_cell_caps: Optional[Tuple[int, ...]] = None
     ang_cell_grid: Optional[Tuple[int, int, int]] = None
+    # Cluster-pair radial plan (radial_impl='cluster'): species-pure
+    # 8-atom clusters with compacted j-cluster lists replace the dense
+    # 27-cell window for the radial kernel (neighbors.clusters).
+    cluster_plan: Optional[object] = None
 
     def __post_init__(self):
         if not (len(self.present) == len(self.rad_caps) == len(self.ang_caps)):

@@ -103,6 +103,8 @@ class WindowSelection(NamedTuple):
     max_cell_sp_ang: Array     # [npres] angular-grid occupancy max
     # Angular row tiering (None when disabled or no grouping_order given).
     tier: Optional[AngTier] = None
+    # Cluster-pair radial selection (radial_impl='cluster' only).
+    clusters: Optional[object] = None
 
 
 def plan_window_cells(positions, box, species, present,
@@ -636,7 +638,8 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
                   radial_cutoff: float, angular_cutoff: float,
                   grouping_order: Optional[np.ndarray] = None,
                   present_counts: Optional[Tuple[int, ...]] = None,
-                  need_shift_planes: bool = False) -> WindowSelection:
+                  need_shift_planes: bool = False,
+                  cluster_plan=None) -> WindowSelection:
     """Freeze a window-mode selection.
 
     ``layout``: ``ang_caps``/``present`` drive the angular compaction;
@@ -778,13 +781,19 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
                                   grouping_order,
                                   tuple(int(x) for x in present_counts),
                                   layout, cc_a)
+    clusters = None
+    if cluster_plan is not None:
+        from .clusters import select_clusters
+        clusters = select_clusters(positions, box, species, cluster_plan,
+                                   radial_cutoff,
+                                   skin=cell_list.cutoff - radial_cutoff)
     return WindowSelection(ang=bsel, shift_planes=shift_planes,
                            wrap_shift=wrap_shift, max_cell_sp=max_cell_sp,
                            cell_perm=cell_perm, n_big_true=n_big_true,
                            rad_order=order_r, rad_slot_of_sorted=slot_r,
                            rad_slot_of_atom=rad_slot_of_atom,
                            max_cell_sp_ang=max_cell_sp_ang,
-                           tier=tier)
+                           tier=tier, clusters=clusters)
 
 
 def _part_deltas(out3, centers, mask, box):
@@ -888,13 +897,24 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
                                      rad_width=pay.rad_deltas.shape[2])
         row_atom = ao
 
+    num_r = basis.num_radial
+    if radial_impl == 'cluster':
+        if wsel.clusters is None or layout.cluster_plan is None:
+            raise ValueError("radial_impl='cluster' needs a selection built "
+                             'with a cluster_plan')
+        from .clusters import cluster_radial_features
+        radial_rows = cluster_radial_features(
+            positions, wsel.clusters, layout.cluster_plan, basis, row_atom,
+            interpret=interpret)
+        return _expand_radial_rows(radial_rows, angular, layout, basis, n,
+                                   num_r)
+
     # --- Radial: dense window kernels on the radial grid, capacity-free.
     p_w = positions - wsel.wrap_shift
     pos_sorted = p_w[wsel.rad_order]
     slots = jnp.full((cc, 3), FAR, positions.dtype)
     slots = slots.at[wsel.rad_slot_of_sorted].set(pos_sorted, mode='drop')
     npres = len(layout.present)
-    num_r = basis.num_radial
     offs = np.cumsum((0,) + cell_caps)[:-1]
     if radial_impl == 'pair':
         from ..ops.pallas_zpair import pair_radial_aev
@@ -969,6 +989,12 @@ def _radial_rows_from_slots(rad_slots, angular, wsel, layout, basis, n, cc,
     rad_flat = rad_slots.reshape(cc, npres * num_r)
     row_slots = jnp.minimum(wsel.rad_slot_of_atom[row_atom], cc - 1)
     radial_rows = rad_flat[row_slots]                       # [N, P*R]
+    return _expand_radial_rows(radial_rows, angular, layout, basis, n,
+                               num_r)
+
+
+def _expand_radial_rows(radial_rows, angular, layout, basis, n, num_r):
+    """[N, P*R] present-species radial rows -> full [S*R] layout, ‖ angular."""
     pieces = []
     for s in range(basis.num_species):
         if s in layout.present:

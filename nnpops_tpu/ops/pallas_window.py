@@ -64,9 +64,13 @@ def make_radial_ladder(rc: float, etas: Tuple[float, ...],
     pair-dependent base times constant powers, so each HALF of the grid
     costs 2 exps + 1 reciprocal + 2 multiplies per point instead of one
     exp per point. exp is the kernel's dominant cost (16 per pair slot,
-    multi-pass on the VPU). Two ladder centers bound the in-half distance
-    so the f32 underflow edge contributes < ~3e-9 absolute error
-    (vs sums of O(1)); exact-match tests guard the fallback path.
+    multi-pass on the VPU). Two ladder centers are REQUIRED at ANI-2x
+    constants, not just an accuracy nicety: a single center puts the
+    center exp at eta*u0^2 up to ~174 for in-range r near the grid edges,
+    under the f32 normal floor (e^-87.3), so e0 flushes to zero and the
+    chain then reports 0 for entries whose true value is ~1 (measured:
+    max abs error 1.0 with one center vs 3e-9 with two). Exact-match
+    tests guard the fallback path.
 
     Returns ``iter_radial_exps(r)`` yielding ``(q, e_q(r))`` in ladder
     order — LAZY, so only the running product stays live (holding all n_r
