@@ -24,7 +24,7 @@ import time
 def build_scan_bench(num_molecules: int, steps_per_call: int,
                      skin: float = 0.0, refresh_every: int = 1,
                      aev_impl: str = 'pallas', nn_dtype=None,
-                     nn_impl: str = 'xla'):
+                     nn_impl: str = 'xla', radial_impl=None):
     import jax
     import jax.numpy as jnp
     from nnpops_tpu.config import ANIBasis
@@ -39,7 +39,8 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
     # Size the static per-species lane capacities from the actual
     # configuration (true max neighbor counts + headroom, not guesses).
     model = model.with_blocked_layout(water.positions, water.box,
-                                      margin=1.15, impl=aev_impl, skin=skin)
+                                      margin=1.15, impl=aev_impl, skin=skin,
+                                      radial_impl=radial_impl)
     params = init_ani_params(jax.random.PRNGKey(0), basis)
     box = jnp.asarray(water.box)
     # Verlet skin: the selection (cell assignment + per-species compaction +
@@ -100,6 +101,12 @@ def main():
                              '(inference + position gradients, the '
                              'reference BatchedNN scope); xla = einsum path '
                              'with full weight gradients')
+    parser.add_argument('--radial-impl', default=None,
+                        choices=['window', 'cluster'],
+                        help='radial AEV kernel under --impl window: '
+                             'cluster = species-pure 8-atom cluster pairs '
+                             'with exact j-lists; default = dense 27-cell '
+                             'window kernel')
     parser.add_argument('--skin', type=float, default=0.25,
                         help='Verlet skin (A); selection refreshed every '
                              '--refresh steps instead of every step')
@@ -134,7 +141,8 @@ def main():
                                                 refresh_every=args.refresh,
                                                 aev_impl=args.impl,
                                                 nn_dtype=args.nn_dtype,
-                                                nn_impl=args.nn_impl)
+                                                nn_impl=args.nn_impl,
+                                                radial_impl=args.radial_impl)
             final, energies = run(params, positions)       # compile + warmup
             jax.block_until_ready(final)
             check_overflow(final)   # overflow contract: between scanned calls

@@ -428,6 +428,14 @@ def select_clusters(positions: Array, box: Array, species: np.ndarray,
             big2 = jnp.int32(plan.ncl[j] + 1)
             top = jax.lax.sort(jnp.where(exact, top1, big2),
                                dimension=1)[:, :cap]
+            if top.shape[1] < cap:
+                # jcap can exceed the candidate column count (the planner
+                # sizes caps from exact counts * margin, the candidate list
+                # from box-box tests); pad so every block is exactly cap
+                # wide and flat entry counts match plan.n_entries.
+                top = jnp.concatenate([
+                    top, jnp.full((top.shape[0], cap - top.shape[1]),
+                                  big2, top.dtype)], axis=1)
             m = top < big2
             blk = jnp.where(m, top, plan.ncl_total - gid_base[j]) \
                 + gid_base[j]
