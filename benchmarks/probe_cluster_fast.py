@@ -35,19 +35,24 @@ if PHASE in (1, 3):
     cluster = base.with_blocked_layout(water.positions, water.box,
                                        margin=1.15, impl='window', skin=SKIN,
                                        radial_impl='cluster')
+    # with_blocked_layout silently falls back to the window kernel when
+    # plan_clusters rejects the box — without this the probe would time
+    # window-vs-window and report a bogus tie.
+    assert cluster.window_radial == 'cluster', 'cluster plan rejected'
     clist = cluster.create_cell_list(water.box, skin=SKIN)
     csel = jax.jit(lambda p: cluster.select(p, box, clist))(pos)
     jax.block_until_ready(csel.ang.order)
-    g = cluster.grouping
-    ao = jnp.asarray(np.asarray(g.order), jnp.int32)
 if PHASE in (2, 3):
     window = base.with_blocked_layout(water.positions, water.box,
                                       margin=1.15, impl='window', skin=SKIN)
     clist_w = window.create_cell_list(water.box, skin=SKIN)
     wsel = jax.jit(lambda p: window.select(p, box, clist_w))(pos)
     jax.block_until_ready(wsel.ang.order)
-    g = window.grouping
-    ao = jnp.asarray(np.asarray(g.order), jnp.int32)
+
+if PHASE == 1:
+    ao = jnp.asarray(np.asarray(cluster.grouping.order), jnp.int32)
+elif PHASE == 2:
+    ao = jnp.asarray(np.asarray(window.grouping.order), jnp.int32)
 
 if PHASE == 1:
     def cfeat(p):

@@ -1,7 +1,16 @@
 #!/usr/bin/env bash
 # The CI test entry point — also directly runnable by any driver/agent.
-# Runs the full suite on the virtual 8-device CPU mesh (conftest.py pins the
-# platform) and fails fast on the first error.
+# Runs on the virtual 8-device CPU mesh (conftest.py pins the platform).
+#
+# Default: the QUICK gate (everything not marked `slow`) — the heavyweight
+# interpret-mode Pallas and 1300-molecule cluster fixtures are marked slow
+# and run in the separate full job (`ci/run_tests.sh --full`, CI's
+# scheduled/slow lane), keeping the per-commit gate fast on 1-CPU runners.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -x -q "$@"
+if [[ "${1:-}" == "--full" ]]; then
+    shift
+    python -m pytest tests/ -x -q "$@"
+else
+    python -m pytest tests/ -x -q -m "not slow" "$@"
+fi

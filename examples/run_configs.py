@@ -98,49 +98,80 @@ def config4():
           f'max|F| = {float(jnp.abs(g).max()):.2f}')
 
 
-def config5():
-    """1000 Langevin steps of ANI + PME under one lax.scan (450-atom box)."""
+def config5(num_molecules=150, num_steps=1000):
+    """ANI + PME Langevin MD under one lax.scan, on the production fast
+    paths (window-mode ANI + window-kernel PME direct + chunked reciprocal)
+    with slot-sticky Verlet-skin stepping.
+
+    BASELINE config 5 calls for a solvated-protein-scale box; this demo
+    runs a periodic WATER box whose size is set by ``num_molecules``
+    (default 450 atoms so the CPU interpreter can run it in CI; pass
+    8670 molecules for the 26k-atom production workload on a real chip —
+    see ``--molecules``). Random NN weights, so charges are scaled down
+    0.2x: there is no trained short-range repulsion to balance full TIP3P
+    electrostatics (real runs load trained weights via utils.torchani_io).
+    """
     import jax, jax.numpy as jnp, numpy as np
     from nnpops_tpu.config import ANIBasis
-    from nnpops_tpu.md.integrators import initialize, langevin_baoab, run_md
+    from nnpops_tpu.md.integrators import (initialize, langevin_baoab,
+                                           run_md_sticky_counts)
     from nnpops_tpu.models.ani import ANIModel, init_ani_params
     from nnpops_tpu.models.combined import ANIWithPME
     from nnpops_tpu.ops.pme import PME
-    from nnpops_tpu.neighbors.cell_list import CellList
     from nnpops_tpu.utils.water import make_water_box
 
-    water = make_water_box(150)
+    skin, refresh = 0.25, 5
+    water = make_water_box(num_molecules)
     n = len(water.positions)
+    big = n >= 2000             # production sizes: bf16 fused ensemble
     basis = ANIBasis.ani2x()
-    model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis,
-                                         angular_capacity=32)
+    model = ANIModel.from_atomic_numbers(
+        water.atomic_numbers, basis, angular_capacity=32,
+        nn_dtype='bfloat16' if big else None,
+        nn_impl='fused' if big else 'xla')
+    model = model.with_blocked_layout(water.positions, water.box,
+                                      impl='window', skin=skin)
     params = init_ani_params(jax.random.PRNGKey(0), basis,
                              self_energies=np.linspace(-40, -1, 7))
-    pme = PME(16, 16, 16, 5, 0.6, 1389.35457, np.full((n, 1), -1, np.int32))
-    ff = ANIWithPME(ani=model, pme=pme, pme_cutoff=5.0)
+    grid = max(16, int(2 ** np.ceil(np.log2(water.box[0][0]))))
+    pme = PME(grid, grid, grid, 5, 0.6, 1389.35457,
+              np.full((n, 1), -1, np.int32))
+    ff = ANIWithPME.create(ani=model, pme=pme, pme_cutoff=5.0,
+                           positions=water.positions, box=water.box)
     box = jnp.asarray(water.box)
-    # Scaled-down charges: with random NN weights there is no short-range
-    # repulsion to balance full TIP3P electrostatics (real runs load trained
-    # weights via utils.torchani_io).
     charges = jnp.asarray(water.charges) * 0.2
-    cells = CellList.create(water.box, basis.radial_cutoff, capacity=96)
+    cells = model.create_cell_list(water.box, skin=skin)
 
-    def force_fn(pos):
-        return ff.energy_and_forces(params, pos, charges, box, cells)
+    def select_fn(pos):
+        return ff.select(pos, box, cells)
+
+    def force_fn_of_sel(sel, pos):
+        return ff.energy_and_forces_from_selection(params, pos, charges,
+                                                   box, cells, sel)
+
+    def counts_fn(sel, pos):
+        return ff.overflow_counts(pos, charges, box, cells, sel)
 
     masses = jnp.where(jnp.asarray(water.atomic_numbers) == 8, 16.0, 1.0)
-    state = initialize(force_fn, jnp.asarray(water.positions), masses,
+    state = initialize(lambda p: force_fn_of_sel(select_fn(p), p),
+                       jnp.asarray(water.positions), masses,
                        kT=0.596, key=jax.random.PRNGKey(1))
-    step = langevin_baoab(force_fn, masses, dt=2e-4, friction=5.0, kT=0.596)
     t0 = time.time()
-    final, energies = jax.jit(lambda s: run_md(step, s, 1000, record_every=100))(state)
+    final, energies, stats = jax.jit(lambda s: run_md_sticky_counts(
+        select_fn, force_fn_of_sel,
+        lambda f: langevin_baoab(f, masses, dt=2e-4, friction=5.0, kT=0.596),
+        s, num_steps, refresh, counts_fn))(state)
     jax.block_until_ready(final.positions)
-    # Overflow contract: verify no static neighbor capacity was exceeded
-    # during the trajectory (checked between scanned segments, never inside).
-    model.check_overflow(final.positions, box, cells)
-    print(f'[5] 1000 Langevin steps ({len(masses)} atoms) in '
-          f'{time.time() - t0:.1f} s; energy {float(energies[0]):.3f} -> '
-          f'{float(energies[-1]):.3f}, finite: '
+    dt_wall = time.time() - t0
+    # Overflow contract, checked on the host AFTER the scan from the
+    # accumulated true counts (never inside the jitted trajectory).
+    ff.check_overflow(final.positions, charges, box, cells)
+    drift = float(energies[-1]) - float(energies[0])
+    print(f'[5] {num_steps} Langevin steps ({len(masses)} atoms, ANI window '
+          f'+ PME window/chunked, sticky refresh {refresh}) in '
+          f'{dt_wall:.1f} s ({dt_wall / num_steps * 1e3:.2f} ms/step); '
+          f'energy {float(energies[0]):.3f} -> {float(energies[-1]):.3f} '
+          f'(drift {drift:+.3f}), finite: '
           f'{bool(jnp.isfinite(final.positions).all())}')
 
 
@@ -148,12 +179,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('which', nargs='?', default='all')
     parser.add_argument('--platform', default=None, choices=[None, 'cpu'])
+    parser.add_argument('--molecules', type=int, default=150,
+                        help='water-box size for config 5 (150 = 450 atoms; '
+                             '8670 = the 26k-atom production workload)')
+    parser.add_argument('--steps', type=int, default=1000,
+                        help='MD steps for config 5')
     args = parser.parse_args()
     if args.platform == 'cpu':
         import jax
         jax.config.update('jax_platforms', 'cpu')
     configs = {'1': config1, '2': config2, '3': config3, '4': config4,
-               '5': config5}
+               '5': lambda: config5(args.molecules, args.steps)}
     for name, fn in configs.items():
         if args.which in (name, 'all'):
             fn()

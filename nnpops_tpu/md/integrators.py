@@ -159,6 +159,44 @@ def run_md_sticky(select_fn: Callable, force_fn_of_sel: Callable,
     return final, energies, stats
 
 
+def run_md_sticky_counts(select_fn: Callable, force_fn_of_sel: Callable,
+                         integrator_factory: Callable, state: MDState,
+                         num_steps: int, refresh_every: int,
+                         counts_fn: Callable):
+    """Slot-sticky MD for ANY selection type (window/blocked/cluster/
+    combined): like :func:`run_md_sticky`, but overflow tracking is a
+    caller-supplied ``counts_fn(sel, positions) -> dict`` of true capacity
+    counts (e.g. ``ANIModel.overflow_counts`` / ``ANIWithPME.
+    overflow_counts`` with ``sel`` passed through). The returned stats dict
+    holds the elementwise MAX of every count over all refresh blocks —
+    compare against the static capacities on the host after the scan
+    (the getNeighborPairs.py:77-83 soft-failure contract).
+
+    Returns (final_state, per-block energies, stats_dict).
+    """
+    def block(carry, _):
+        state, stats = carry
+        sel = select_fn(state.positions)
+        new = counts_fn(sel, state.positions)
+        stats = {k: jnp.maximum(stats[k], jnp.asarray(new[k]))
+                 for k in stats}
+        force_fn = lambda pos: force_fn_of_sel(sel, pos)
+        step = integrator_factory(force_fn)
+        energy, forces = force_fn(state.positions)
+        state = state._replace(energy=energy, forces=forces)
+        state = jax.lax.fori_loop(0, refresh_every, lambda _, s: step(s),
+                                  state)
+        return (state, stats), state.energy
+
+    sel0 = select_fn(state.positions)
+    init_stats = {k: jnp.zeros_like(jnp.asarray(v))
+                  for k, v in counts_fn(sel0, state.positions).items()}
+    num_blocks = num_steps // refresh_every
+    (final, stats), energies = jax.lax.scan(block, (state, init_stats), None,
+                                            length=num_blocks)
+    return final, energies, stats
+
+
 def kinetic_energy(state: MDState, masses: Array) -> Array:
     return 0.5 * jnp.sum(masses[:, None] * state.velocities ** 2)
 

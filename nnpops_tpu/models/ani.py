@@ -333,7 +333,8 @@ class ANIModel:
         'max_angular' (vs ``angular_capacity``). On the blocked path the
         neighbor/angular entries are per-present-species arrays instead."""
         if self.aev_impl == 'window':
-            wsel = self.select(positions, box, cell_list)
+            wsel = (sel if sel is not None
+                    else self.select(positions, box, cell_list))
             # Window radial is capacity-free; the remaining capacities are
             # the per-(cell, species) occupancy and the angular lane caps.
             counts = {'max_neighbors': wsel.ang.max_rad,
@@ -345,9 +346,18 @@ class ANIModel:
                 counts['num_big_cells'] = wsel.n_big_true
             if wsel.tier is not None:
                 counts['ang_big_rows'] = wsel.tier.big_counts
+            if wsel.clusters is not None:
+                # Cluster-radial soft failures (see ClusterSelection): the
+                # boolean geometric bound rides along as a 0/1 count.
+                counts['cluster_jcount'] = wsel.clusters.max_jcount
+                counts['cluster_cand'] = wsel.clusters.max_cand
+                counts['cluster_mirror'] = wsel.clusters.max_mir
+                counts['cluster_geom'] = wsel.clusters.geom_violation.astype(
+                    jnp.int32)
             return counts
         if self.aev_impl in ('blocked', 'pallas'):
-            bsel = self.select(positions, box, cell_list)
+            bsel = (sel if sel is not None
+                    else self.select(positions, box, cell_list))
             return {'max_neighbors': bsel.max_rad,
                     'max_cell_occupancy': bsel.max_cell_occupancy,
                     'max_angular': bsel.max_ang}
@@ -387,6 +397,12 @@ class ANIModel:
             if 'ang_big_rows' in raw:
                 caps['ang_big_rows'] = np.asarray(
                     self.blocked_layout.ang_big_rows)
+            if 'cluster_jcount' in raw:
+                plan = self.blocked_layout.cluster_plan
+                caps['cluster_jcount'] = np.asarray(plan.jcaps)
+                caps['cluster_cand'] = np.asarray(plan.cand_caps)
+                caps['cluster_mirror'] = plan.kmir
+                caps['cluster_geom'] = 0
             bad = {k: (counts[k].tolist(), np.asarray(caps[k]).tolist())
                    for k in counts if np.any(counts[k] > caps[k])}
         else:

@@ -95,13 +95,18 @@ class ClusterSelection(NamedTuple):
     mirror: Array                # [ncl_total, kmir] flat fwd-entry ids
     mirror_mask: Array           # [ncl_total, kmir]
     max_jcount: Array            # [S, S] true max j-cluster counts
+    max_cand: Array              # [S, S] true max stage-1 box-test counts
     max_mir: Array               # scalar true max mirror occurrences
     geom_violation: Array        # bool: a cluster pair could wrap twice
 
     def did_overflow(self, plan: ClusterPlan) -> Array:
         jc = jnp.any(self.max_jcount > jnp.asarray(plan.jcaps))
+        # Stage-1 truncation drops candidates BEFORE the exact stage, so
+        # max_jcount alone cannot see it — check the pre-truncation counts
+        # against cand_caps too.
+        cand = jnp.any(self.max_cand > jnp.asarray(plan.cand_caps))
         mir = self.max_mir > plan.kmir
-        return jc | mir | self.geom_violation
+        return jc | cand | mir | self.geom_violation
 
 
 def _round_up(x: int, m: int) -> int:
@@ -277,6 +282,11 @@ def plan_clusters(positions, box, species, cutoff: float, skin: float = 0.0,
     mult = max(1, 128 // cl)
     for i in range(len(present)):
         jcaps[i] = [_round_up(c, mult) for c in jcaps[i]]
+        # Stage 2's lanes (jcaps, lane-rounded) must never exceed what
+        # stage 1 can supply — clamp the candidate caps up so the
+        # select-time pad is dead-code insurance, not a live truncation.
+        cand_caps[i] = [max(cc, jc) for cc, jc in zip(cand_caps[i],
+                                                      jcaps[i])]
     kmir = int(np.ceil(max(int(o.max()) for o in occur) * margin)) + 1
     return ClusterPlan(present=present, n_sp=tuple(n_sp), cl=cl,
                        col_grid=tuple(col_grid),
@@ -383,6 +393,7 @@ def select_clusters(positions: Array, box: Array, species: np.ndarray,
         [tiles, jnp.full((1, cl, 3), FAR, tiles.dtype)])
     jlists, jmasks, shifts = [], [], []
     max_jcount = [[None] * npres for _ in range(npres)]
+    max_cand = [[None] * npres for _ in range(npres)]
     for i in range(npres):
         ci = jax.lax.dynamic_slice_in_dim(cent, gid_base[i], plan.ncl[i])
         hi_i = jax.lax.dynamic_slice_in_dim(half, gid_base[i], plan.ncl[i])
@@ -405,7 +416,10 @@ def select_clusters(positions: Array, box: Array, species: np.ndarray,
             if i == j:
                 eye = jnp.eye(plan.ncl[i], dtype=bool)
                 ok = ok & ~eye
-            # Stage 1: compact box-test passes to cand_caps.
+            # Stage 1: compact box-test passes to cand_caps. Record the
+            # TRUE pre-truncation count: truncation here drops candidates
+            # before the exact stage, invisibly to max_jcount.
+            max_cand[i][j] = jnp.max(jnp.sum(ok, 1))
             ccap = plan.cand_caps[i][j]
             bigk = jnp.int32(plan.ncl[j])
             lid = jnp.broadcast_to(
@@ -460,6 +474,7 @@ def select_clusters(positions: Array, box: Array, species: np.ndarray,
         jmasks.append(jm)
         shifts.append(sh.transpose(2, 0, 1))         # [3, ncl_i, ktot_i]
     max_jcount = jnp.stack([jnp.stack(r) for r in max_jcount])
+    max_cand = jnp.stack([jnp.stack(r) for r in max_cand])
 
     # Mirror: for every j-cluster, the flat forward-entry positions that
     # reference it (the gather adjoint then sums kmir gathered tiles
@@ -489,7 +504,7 @@ def select_clusters(positions: Array, box: Array, species: np.ndarray,
         wrap_shift=wrap_shift, slot_of_atom=slot_of_atom,
         jlists=tuple(jlists), jmasks=tuple(jmasks), shifts=tuple(shifts),
         mirror=mirror, mirror_mask=mirror_mask,
-        max_jcount=max_jcount, max_mir=max_mir,
+        max_jcount=max_jcount, max_cand=max_cand, max_mir=max_mir,
         geom_violation=geom_violation)
 
 

@@ -367,9 +367,10 @@ def pipeline_ensemble_energy(layer_dims: Tuple[int, ...], mesh: Mesh,
                 out = jnp.where(keep, updated, out)
                 return (nxt, out), None
 
-            buf0 = jax.lax.pvary(jnp.zeros((mb, x_all.shape[1]), x_all.dtype),
-                                 (axis,))
-            out0 = jax.lax.pvary(jnp.zeros_like(x_mb), (axis,))
+            buf0 = jax.lax.pcast(jnp.zeros((mb, x_all.shape[1]), x_all.dtype),
+                                 (axis,), to='varying')
+            out0 = jax.lax.pcast(jnp.zeros_like(x_mb), (axis,),
+                                 to='varying')
             (_, out), _ = jax.lax.scan(tick, (buf0, out0),
                                        jnp.arange(num_microbatches + stages - 1))
             # Only the last stage holds real outputs; broadcast via psum.

@@ -64,3 +64,27 @@ def make_water_box(num_molecules: int, seed: int = 0,
     charges = np.tile(np.asarray(TIP3P_CHARGES, dtype=np.float32), num_molecules)
     box = (np.eye(3) * box_len).astype(np.float32)
     return WaterBox(positions.astype(np.float32), atomic_numbers, charges, box)
+
+
+def make_triclinic_water_box(num_molecules: int, seed: int = 0,
+                             jitter: float = 0.25,
+                             shear: Tuple[float, float, float] = (0.15, 0.10, 0.12)) -> WaterBox:
+    """The cubic water box re-wrapped into a REDUCED lower-triangular
+    triclinic cell (b_x = shear[0] * L, c_x = shear[1] * L,
+    c_y = shear[2] * L) — for triclinic fast-path parity tests.
+
+    The reference supports triclinic boxes throughout
+    (CpuANISymmetryFunctions.cpp:361-379, getNeighborPairsCPU.cpp:65-69);
+    shears are kept within the reduced-form bounds (|b_x| <= a_x / 2 etc.,
+    getNeighborPairs.py:24-35) so single-image minimum-image wrapping stays
+    valid.
+    """
+    w = make_water_box(num_molecules, seed=seed, jitter=jitter)
+    L = float(w.box[0, 0])
+    box = np.array([[L, 0.0, 0.0],
+                    [shear[0] * L, L, 0.0],
+                    [shear[1] * L, shear[2] * L, L]], np.float64)
+    frac = w.positions.astype(np.float64) @ np.linalg.inv(box)
+    pos = (frac - np.floor(frac)) @ box
+    return WaterBox(pos.astype(np.float32), w.atomic_numbers, w.charges,
+                    box.astype(np.float32))

@@ -182,3 +182,42 @@ def test_tensor_parallel_model_sharded_tail():
         e_tp = float(jax.jit(fn)(params, aev))
     e_ref = float(ensemble_energy(params.ensemble, aev, model.grouping))
     np.testing.assert_allclose(e_tp, e_ref, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_window_pipeline_sharded_matches_single_device():
+    """The PRODUCTION window pipeline sharded over the 8-device mesh
+    (radial kernel over cell blocks, angular+NN over tier-row blocks,
+    psum energy) matches the single-device window path — energy AND
+    forces — at 2.6k atoms (VERDICT r2 item 3)."""
+    from nnpops_tpu.parallel.window_shard import window_sharded_energy
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(867, seed=0)            # 2601 atoms
+    basis = ANIBasis.ani2x()
+    model = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
+    model = model.with_blocked_layout(water.positions, water.box,
+                                      impl='window', skin=0.25)
+    assert model.aev_impl == 'window'
+    assert model.blocked_layout.ang_big_rows is not None, (
+        'test needs angular tiering to engage at this scale')
+    params = init_ani_params(jax.random.PRNGKey(0), basis,
+                             self_energies=np.linspace(-40, -1, 7))
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    cl = model.create_cell_list(water.box, skin=0.25)
+    sel = model.select(pos, box, cl)
+
+    e_ref, f_ref = jax.jit(
+        lambda pr, p: model.energy_and_forces_from_selection(
+            pr, p, box, cl, sel))(params, pos)
+
+    mesh = make_mesh(8, model_parallel=1)
+    fn = window_sharded_energy(model, mesh, axis='dp')
+    e_sh = jax.jit(fn)(params, pos, box, sel)
+    f_sh = -jax.jit(jax.grad(fn, argnums=1))(params, pos, box, sel)
+
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=2e-6)
+    scale = float(jnp.max(jnp.abs(f_ref)))
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=2e-5 * scale)

@@ -164,3 +164,30 @@ def test_window_wrapped_positions_match_pallas(setup):
     np.testing.assert_allclose(e2, e1, rtol=1e-5)
     scale = np.abs(np.asarray(f1)).max()
     np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
+
+
+def test_window_triclinic_box_parity():
+    """The window fast path on a REDUCED TRICLINIC box matches the
+    min-image pallas/blocked oracle (the reference supports triclinic in
+    production everywhere: CpuANISymmetryFunctions.cpp:361-379,
+    getNeighborPairsCPU.cpp:65-69). The whole window pipeline is built in
+    fractional space, so the triclinic box rides the same code: this test
+    pins that contract (VERDICT r2 item 4)."""
+    from nnpops_tpu.utils.water import make_triclinic_water_box
+    water = make_triclinic_water_box(300, seed=0)     # ~20.8 A, sheared
+    basis = ANIBasis.ani2x()
+    base = ANIModel.from_atomic_numbers(water.atomic_numbers, basis)
+    window = base.with_blocked_layout(water.positions, water.box,
+                                      impl='window')
+    assert window.aev_impl == 'window', 'triclinic box must stay on the fast path'
+    pallas = base.with_blocked_layout(water.positions, water.box,
+                                      impl='pallas')
+    params = init_ani_params(jax.random.PRNGKey(0), basis)
+    cl = window.create_cell_list(water.box)
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    e1, f1 = pallas.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = window.energy_and_forces_fused(params, pos, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-5)
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
