@@ -251,6 +251,27 @@ class ANIModel:
         e, grad = jax.value_and_grad(self.energy, argnums=1)(params, positions, box, neighbors)
         return e, -grad
 
+    def energy_batch(self, params: ANIParams, positions: Array,
+                     box: Optional[Array] = None) -> Array:
+        """Conformer-batch energies: ``positions [M, N, 3] -> [M]``.
+
+        The molecule-batch dimension the reference carries through BatchedNN
+        (``[num_mols, ...]``, BatchedNN.py:94-109) but rejects at the AEV
+        stage (``species.shape[0] != 1`` raises, SymmetryFunctions.py:110-111)
+        — here the dense AEV+ensemble pipeline vmaps over conformers of this
+        model's (static) composition, so batching works end to end.
+        """
+        return jax.vmap(lambda p: self.energy(params, p, box))(positions)
+
+    def energy_and_forces_batch(self, params: ANIParams, positions: Array,
+                                box: Optional[Array] = None
+                                ) -> Tuple[Array, Array]:
+        """Batched energies [M] and forces [M, N, 3] (see energy_batch)."""
+        def one(p):
+            e, g = jax.value_and_grad(self.energy, argnums=1)(params, p, box)
+            return e, -g
+        return jax.vmap(one)(positions)
+
     # ---- Fused gather-free path (production MD): cell-list payload + AEV.
 
     @property

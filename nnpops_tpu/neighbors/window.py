@@ -72,6 +72,9 @@ class AngTier(NamedTuple):
     slot_rows_small: Array  # [NS]
     big_counts: Array      # [npres] true big-row counts (soft failure)
     concat_pos: Array      # [N] tiered row -> position in [big; small]
+    row_of_atom: Array     # [N] original atom index -> tiered row
+    crow_of_atom: Array    # [N] original atom index -> [big; small] row
+    inv_concat_pos: Array  # [N] [big; small] row -> tiered row (static)
 
 
 class WindowSelection(NamedTuple):
@@ -105,6 +108,9 @@ class WindowSelection(NamedTuple):
     tier: Optional[AngTier] = None
     # Cluster-pair radial selection (radial_impl='cluster' only).
     clusters: Optional[object] = None
+    # Inverse radial-slot maps (gather-only adjoints in window_features).
+    rad_slot_to_atom: Optional[Array] = None   # [cc] slot -> atom (N = empty)
+    rad_slot_to_row: Optional[Array] = None    # [cc] slot -> tier row (N = empty)
 
 
 def plan_window_cells(positions, box, species, present,
@@ -420,6 +426,15 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
     mir_big, mir_small = _mirror_packed(srows_big, idx_big, mask_big,
                                         srows_small, idx_small, mask_small,
                                         cc)
+    # Inverse row maps (per refresh): they turn every per-step adjoint of
+    # the tier pipeline into a gather (atom -> its unique tier/concat row).
+    n = row_atom.shape[0]
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    row_of_atom = jnp.zeros((n,), jnp.int32).at[row_atom].set(idx_n)
+    inv_concat_np = np.empty(len(concat_pos_np), np.int32)
+    inv_concat_np[concat_pos_np] = np.arange(len(concat_pos_np), dtype=np.int32)
+    crow_of_atom = jnp.zeros((n,), jnp.int32).at[row_atom].set(
+        jnp.asarray(concat_pos_np))
     return AngTier(
         row_order=io_t, row_atom=row_atom,
         idx_big=idx_big, mask_big=mask_big,
@@ -427,7 +442,9 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
         idx_small=idx_small, mask_small=mask_small,
         mir_small=mir_small, slot_rows_small=srows_small,
         big_counts=jnp.stack(big_counts),
-        concat_pos=jnp.asarray(concat_pos_np))
+        concat_pos=jnp.asarray(concat_pos_np),
+        row_of_atom=row_of_atom, crow_of_atom=crow_of_atom,
+        inv_concat_pos=jnp.asarray(inv_concat_np))
 
 
 @jax.custom_vjp
@@ -472,6 +489,127 @@ def _tiered_gather_bwd(res, g):
 
 
 _tiered_gather.defvjp(_tiered_gather_fwd, _tiered_gather_bwd)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_tier_geometry(cc: int):
+    """Joint tier geometry (neighbor gathers + center rows) with an
+    all-gather adjoint.
+
+    The naive composition (positions -> sorted gather -> slot scatter ->
+    tier gathers / center gathers) pays three scatter-adds in its VJP at
+    the measured ~5x-a-gather scatter cost. But every pair cotangent is a
+    per-tier-ROW quantity and ``row_atom`` is a full permutation of the
+    atoms, so the whole adjoint collapses to: mirror gathers (neighbor
+    side, as in ``_tiered_gather``) + row sums + ONE [N]-row gather
+    through the frozen atom->concat-row map."""
+
+    @jax.custom_vjp
+    def tier_geometry(p, order, slot_of_sorted, idx_b, idx_s, mask_b,
+                      mask_s, srows_b, srows_s, mir_b, mir_s, crow_of_atom):
+        pos_sorted = p[order]
+        slots = jnp.zeros((cc + 2, 3), p.dtype)
+        slots = slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
+        nb, kat = idx_b.shape
+        ns, ksm = idx_s.shape
+        out_b = slots[idx_b.reshape(-1)].reshape(nb, kat, 3).transpose(
+            2, 0, 1)
+        out_s = slots[idx_s.reshape(-1)].reshape(ns, ksm, 3).transpose(
+            2, 0, 1)
+        ctr_b = slots[jnp.minimum(srows_b, cc + 1)]
+        ctr_s = slots[jnp.minimum(srows_s, cc + 1)]
+        return out_b, out_s, ctr_b, ctr_s
+
+    def _fwd(p, order, slot_of_sorted, idx_b, idx_s, mask_b, mask_s,
+             srows_b, srows_s, mir_b, mir_s, crow_of_atom):
+        out = tier_geometry(p, order, slot_of_sorted, idx_b, idx_s, mask_b,
+                            mask_s, srows_b, srows_s, mir_b, mir_s,
+                            crow_of_atom)
+        return out, (idx_b.shape, idx_s.shape, mask_b, mask_s, mir_b,
+                     mir_s, crow_of_atom)
+
+    def _bwd(res, g):
+        (nb, kat), (ns, ksm), mask_b, mask_s, mir_b, mir_s, crow = res
+        g_b, g_s, gc_b, gc_s = g
+        flat = jnp.concatenate(
+            [g_b.transpose(1, 2, 0).reshape(nb * kat, 3),
+             g_s.transpose(1, 2, 0).reshape(ns * ksm, 3),
+             jnp.zeros((1, 3), g_b.dtype)], axis=0)
+        gm_b = flat[mir_b.reshape(-1)].reshape(nb, kat, 3).transpose(2, 0, 1)
+        pa_b = jnp.sum(jnp.where(mask_b[None], gm_b, 0.0), axis=2)  # [3,NB]
+        gm_s = flat[mir_s.reshape(-1)].reshape(ns, ksm, 3).transpose(2, 0, 1)
+        pa_s = jnp.sum(jnp.where(mask_s[None], gm_s, 0.0), axis=2)
+        rows_all = jnp.concatenate([pa_b.T + gc_b, pa_s.T + gc_s], axis=0)
+        dp = rows_all[crow]                                  # [N, 3] gather
+        return (dp,) + (None,) * 11
+
+    tier_geometry.defvjp(_fwd, _bwd)
+    return tier_geometry
+
+
+@jax.custom_vjp
+def _perm_gather(x, perm, inv_perm):
+    """x[perm] for a PERMUTATION ``perm``, with the adjoint expressed as a
+    gather through ``inv_perm`` instead of XLA's scatter transpose."""
+    return x[perm]
+
+
+def _perm_gather_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _perm_gather_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+_perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
+
+
+@jax.custom_vjp
+def _slot_pos_gather(p_ext, slot_to_atom, slot_of_atom):
+    """Slot positions [cc, 3] from ``p_ext`` ([N+1, 3]; row N = the
+    empty-slot fill) through the frozen injective slot->atom map. The
+    adjoint is a gather through the inverse (atom->slot) map: every atom
+    occupies at most one slot, so no scatter-add is ever needed."""
+    n = p_ext.shape[0] - 1
+    return p_ext[jnp.minimum(slot_to_atom, n)]
+
+
+def _slot_pos_gather_fwd(p_ext, slot_to_atom, slot_of_atom):
+    out = _slot_pos_gather(p_ext, slot_to_atom, slot_of_atom)
+    return out, (slot_of_atom, out.shape[0])
+
+
+def _slot_pos_gather_bwd(res, g):
+    slot_of_atom, cc = res
+    valid = slot_of_atom < cc
+    dp = jnp.where(valid[:, None], g[jnp.minimum(slot_of_atom, cc - 1)], 0.0)
+    zrow = jnp.zeros((1, 3), g.dtype)
+    return jnp.concatenate([dp, zrow]), None, None
+
+
+_slot_pos_gather.defvjp(_slot_pos_gather_fwd, _slot_pos_gather_bwd)
+
+
+@jax.custom_vjp
+def _row_extract(rad_flat, row_slots, slot_to_row):
+    """Per-row radial AEV extraction ``rad_flat[row_slots]`` whose adjoint
+    is a gather through the frozen slot->row inverse (``row_slots`` is
+    injective: one radial slot per atom row)."""
+    return rad_flat[row_slots]
+
+
+def _row_extract_fwd(rad_flat, row_slots, slot_to_row):
+    return rad_flat[row_slots], (slot_to_row, row_slots.shape[0])
+
+
+def _row_extract_bwd(res, g):
+    slot_to_row, n = res
+    g_ext = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    return g_ext[jnp.minimum(slot_to_row, n)], None, None
+
+
+_row_extract.defvjp(_row_extract_fwd, _row_extract_bwd)
 
 
 @functools.lru_cache(maxsize=32)
@@ -684,6 +822,8 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     idx_n = jnp.arange(n, dtype=jnp.int32)
     rad_slot_of_atom = jnp.zeros((n,), jnp.int32).at[order_r].set(
         slot_r, mode='drop')
+    rad_slot_to_atom = jnp.full((ncells * c,), n, jnp.int32).at[slot_r].set(
+        order_r, mode='drop')
 
     # Cell-occupancy classes: big cells (any species beyond small_caps)
     # sort to the front of the frozen permutation.
@@ -787,13 +927,22 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
         clusters = select_clusters(positions, box, species, cluster_plan,
                                    radial_cutoff,
                                    skin=cell_list.cutoff - radial_cutoff)
+    rad_slot_to_row = None
+    if tier is not None:
+        # slot -> tier row (empty slots keep the N sentinel): lets the
+        # radial row-extraction adjoint run as a frozen gather.
+        roa_ext = jnp.concatenate(
+            [tier.row_of_atom, jnp.full((1,), n, jnp.int32)])
+        rad_slot_to_row = roa_ext[jnp.minimum(rad_slot_to_atom, n)]
     return WindowSelection(ang=bsel, shift_planes=shift_planes,
                            wrap_shift=wrap_shift, max_cell_sp=max_cell_sp,
                            cell_perm=cell_perm, n_big_true=n_big_true,
                            rad_order=order_r, rad_slot_of_sorted=slot_r,
                            rad_slot_of_atom=rad_slot_of_atom,
                            max_cell_sp_ang=max_cell_sp_ang,
-                           tier=tier, clusters=clusters)
+                           tier=tier, clusters=clusters,
+                           rad_slot_to_atom=rad_slot_to_atom,
+                           rad_slot_to_row=rad_slot_to_row)
 
 
 def _part_deltas(out3, centers, mask, box):
@@ -830,23 +979,23 @@ def _tiered_angular(positions: Array, box: Array,
     a_small = BlockedLayout(num_species=layout.num_species,
                             present=layout.present,
                             rad_caps=small, ang_caps=small)
-    pos_sorted = positions[sel.order]
-    slots = jnp.zeros((cc + 2, 3), positions.dtype)
-    slots = slots.at[sel.slot_of_sorted].set(pos_sorted, mode='drop')
-    out_b, out_s = _tiered_gather(
-        slots, t.idx_big, t.idx_small, t.mir_big, t.mir_small,
-        t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small)
-    centers_b = slots[jnp.minimum(t.slot_rows_big, cc + 1)]
+    out_b, out_s, centers_b, centers_s = _make_tier_geometry(cc)(
+        positions, sel.order, sel.slot_of_sorted, t.idx_big, t.idx_small,
+        t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small,
+        t.mir_big, t.mir_small, t.crow_of_atom)
     deltas_b = _part_deltas(out_b, centers_b, t.mask_big, box)
+    # Kernel-backward A/B on chip (NOTES_PERF r3): the matmul cotangent
+    # broadcast (v2) wins on the narrow small tier, the slice-FMA loop (v1)
+    # on the wide big tier.
     ang_b = angular_aev_pallas(deltas_b, t.mask_big, basis, a_full,
                                interpret=interpret,
-                               rad_width=deltas_b.shape[2])
-    centers_s = slots[jnp.minimum(t.slot_rows_small, cc + 1)]
+                               rad_width=deltas_b.shape[2], bwd_impl='v1')
     deltas_s = _part_deltas(out_s, centers_s, t.mask_small, box)
     ang_s = angular_aev_pallas(deltas_s, t.mask_small, basis, a_small,
                                interpret=interpret,
-                               rad_width=deltas_s.shape[2])
-    angular = jnp.concatenate([ang_b, ang_s], axis=0)[t.concat_pos]
+                               rad_width=deltas_s.shape[2], bwd_impl='v2')
+    cat = jnp.concatenate([ang_b, ang_s], axis=0)
+    angular = _perm_gather(cat, t.concat_pos, t.inv_concat_pos)
     return t.row_atom, angular
 
 
@@ -911,9 +1060,18 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
 
     # --- Radial: dense window kernels on the radial grid, capacity-free.
     p_w = positions - wsel.wrap_shift
-    pos_sorted = p_w[wsel.rad_order]
-    slots = jnp.full((cc, 3), FAR, positions.dtype)
-    slots = slots.at[wsel.rad_slot_of_sorted].set(pos_sorted, mode='drop')
+    if wsel.rad_slot_to_atom is not None:
+        # Injective slot<->atom maps: both directions of the slot build are
+        # gathers (no scatter-add in the VJP).
+        p_ext = jnp.concatenate([p_w, jnp.full((1, 3), FAR,
+                                                positions.dtype)])
+        slots = _slot_pos_gather(p_ext, wsel.rad_slot_to_atom,
+                                 wsel.rad_slot_of_atom)
+    else:
+        pos_sorted = p_w[wsel.rad_order]
+        slots = jnp.full((cc, 3), FAR, positions.dtype)
+        slots = slots.at[wsel.rad_slot_of_sorted].set(pos_sorted,
+                                                      mode='drop')
     npres = len(layout.present)
     offs = np.cumsum((0,) + cell_caps)[:-1]
     if radial_impl == 'pair':
@@ -988,7 +1146,12 @@ def _radial_rows_from_slots(rad_slots, angular, wsel, layout, basis, n, cc,
     npres = len(layout.present)
     rad_flat = rad_slots.reshape(cc, npres * num_r)
     row_slots = jnp.minimum(wsel.rad_slot_of_atom[row_atom], cc - 1)
-    radial_rows = rad_flat[row_slots]                       # [N, P*R]
+    if wsel.rad_slot_to_row is not None:
+        # row_slots is injective (one slot per atom row): adjoint = gather.
+        radial_rows = _row_extract(rad_flat, row_slots,
+                                   wsel.rad_slot_to_row)   # [N, P*R]
+    else:
+        radial_rows = rad_flat[row_slots]                   # [N, P*R]
     return _expand_radial_rows(radial_rows, angular, layout, basis, n,
                                num_r)
 

@@ -67,7 +67,8 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         block_size: int = 128,
                         bwd_block_size: Optional[int] = None,
                         interpret: Optional[bool] = None,
-                        rad_width: Optional[int] = None):
+                        rad_width: Optional[int] = None,
+                        bwd_impl: str = 'v2'):
     """Build the fused angular-AEV function for one (basis, layout).
 
     Returns ``fn(ang_deltas [3, N, Kat], ang_mask [N, Kat] bool) ->
@@ -288,34 +289,14 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                  slice_ang(dzr_ref[:]), m_ref[:],
                  selj_ref[:], selk_ref[:], out_ref)
 
-    def bwd_body(dx, dy, dz, m, g, selj, selk, segmask_ref):
+    def bwd_tail(geom, vf, dvf, drm, c_acc, selj, selk):
+        """Shared second half of the VJP: (dvf, drm, c_acc) -> input-delta
+        cotangents. Same math in both cotangent-loop variants."""
         (d1, d2, r1, r2, dot12, valid, inv12, cos_t, sin_t, cross, rm,
-         fc1, fc2) = pair_geometry(dx, dy, dz, m, selj, selk)
+         fc1, fc2) = geom
         x1, y1, z1 = d1
         x2, y2, z2 = d2
-        vf = valid * fc1 * fc2
-        cps = cos_pows(cos_t, sin_t)
         zeros = jnp.zeros_like(rm)
-        a_acc = zeros                     # dW/d(vf)
-        b_acc = zeros                     # dW/d(rm) / vf
-        c_acc = [zeros] * n_ts            # dW/d(cos_pow[ts]) / vf
-        es = rs_exps(rm)
-        for i_rs, rs in enumerate(rs_grid):
-            u = rm - rs
-            e_raw = es[i_rs]
-            for i_ts in range(n_ts):
-                # Broadcast the per-segment cotangent onto its lane range:
-                # outer products against the constant 0/1 segment masks.
-                gt = zeros
-                for i_seg in range(n_seg):
-                    col = i_seg * a_len + i_rs * n_ts + i_ts
-                    gt = gt + g[:, col:col + 1] * segmask_ref[i_seg:i_seg + 1, :]
-                p = gt * e_raw
-                a_acc = a_acc + p * cps[i_ts]
-                b_acc = b_acc + p * cps[i_ts] * (-2.0 * eta * u)
-                c_acc[i_ts] = c_acc[i_ts] + p
-        dvf = a_acc
-        drm = vf * b_acc
         dcos = zeros
         dsin = zeros
         for i_ts, ts in enumerate(ts_grid):
@@ -378,11 +359,72 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         ddz = _dot(dd1z, seljt) + _dot(dd2z, selkt)
         return ddx, ddy, ddz
 
+    def bwd_body(dx, dy, dz, m, g, selj, selk, segmask_ref):
+        geom = pair_geometry(dx, dy, dz, m, selj, selk)
+        (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2) = geom
+        vf = valid * fc1 * fc2
+        cps = cos_pows(cos_t, sin_t)
+        zeros = jnp.zeros_like(rm)
+        a_acc = zeros                     # dW/d(vf)
+        b_acc = zeros                     # dW/d(rm) / vf
+        c_acc = [zeros] * n_ts            # dW/d(cos_pow[ts]) / vf
+        es = rs_exps(rm)
+        for i_rs, rs in enumerate(rs_grid):
+            u = rm - rs
+            e_raw = es[i_rs]
+            for i_ts in range(n_ts):
+                # Broadcast the per-segment cotangent onto its lane range:
+                # outer products against the constant 0/1 segment masks.
+                gt = zeros
+                for i_seg in range(n_seg):
+                    col = i_seg * a_len + i_rs * n_ts + i_ts
+                    gt = gt + g[:, col:col + 1] * segmask_ref[i_seg:i_seg + 1, :]
+                p = gt * e_raw
+                a_acc = a_acc + p * cps[i_ts]
+                b_acc = b_acc + p * cps[i_ts] * (-2.0 * eta * u)
+                c_acc[i_ts] = c_acc[i_ts] + p
+        return bwd_tail(geom, vf, a_acc, vf * b_acc, c_acc, selj, selk)
+
+    def bwd_body_v2(dx, dy, dz, m, g, selj, selk, segmask_ref):
+        """Restructured cotangent loop: the per-(rs,ts,seg) full-width
+        broadcast FMAs of v1 (~9 VPU passes per (rs,ts), n_seg of them just
+        to paint the cotangent onto its lane segment) become one tiny MXU
+        matmul per (rs,ts) against the constant 0/1 segment masks, and the
+        rm-weighted accumulator is factored as ``sum(t)*rm - sum(t*rs)``
+        (rs is a scalar) so the loop costs ~11 passes per rs instead of
+        ~9*n_ts. ``g`` arrives (rs,ts)-major / seg-minor (reordered by the
+        caller) so each matmul reads a contiguous [B, n_seg] slice."""
+        geom = pair_geometry(dx, dy, dz, m, selj, selk)
+        (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2) = geom
+        vf = valid * fc1 * fc2
+        cps = cos_pows(cos_t, sin_t)
+        zeros = jnp.zeros_like(rm)
+        a_acc = zeros                     # sum_rs e_rs * P_rs
+        sb_acc = zeros                    # sum_rs e_rs * P_rs * rs (scalar rs)
+        c_acc = [zeros] * n_ts            # dW/d(cos_pow[ts]) / vf
+        seg = segmask_ref[...]
+        es = rs_exps(rm)
+        for i_rs, rs in enumerate(rs_grid):
+            e_raw = es[i_rs]
+            p_rs = zeros
+            for i_ts in range(n_ts):
+                k0 = (i_rs * n_ts + i_ts) * n_seg
+                gt = _dot(g[:, k0:k0 + n_seg], seg)          # [B, Tp] MXU
+                p_rs = p_rs + gt * cps[i_ts]
+                c_acc[i_ts] = c_acc[i_ts] + gt * e_raw
+            t_rs = e_raw * p_rs
+            a_acc = a_acc + t_rs
+            sb_acc = sb_acc + t_rs * rs
+        drm = vf * (-2.0 * eta) * (a_acc * rm - sb_acc)
+        return bwd_tail(geom, vf, a_acc, drm, c_acc, selj, selk)
+
+    _bwd_body = bwd_body_v2 if bwd_impl == 'v2' else bwd_body
+
     def bwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, g_ref, selj_ref, selk_ref,
                    segmask_ref, ddx_ref, ddy_ref, ddz_ref):
-        ddx, ddy, ddz = bwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
-                                 g_ref[:], selj_ref[:], selk_ref[:],
-                                 segmask_ref)
+        ddx, ddy, ddz = _bwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
+                                  g_ref[:], selj_ref[:], selk_ref[:],
+                                  segmask_ref)
         ddx_ref[:] = ddx
         ddy_ref[:] = ddy
         ddz_ref[:] = ddz
@@ -390,9 +432,10 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     def bwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, g_ref, selj_ref,
                        selk_ref, segmask_ref, ddxr_ref, ddyr_ref, ddzr_ref):
         rows = dxr_ref.shape[0]
-        ddx, ddy, ddz = bwd_body(slice_ang(dxr_ref[:]), slice_ang(dyr_ref[:]),
-                                 slice_ang(dzr_ref[:]), m_ref[:], g_ref[:],
-                                 selj_ref[:], selk_ref[:], segmask_ref)
+        ddx, ddy, ddz = _bwd_body(
+            slice_ang(dxr_ref[:]), slice_ang(dyr_ref[:]),
+            slice_ang(dzr_ref[:]), m_ref[:], g_ref[:],
+            selj_ref[:], selk_ref[:], segmask_ref)
         # Static transpose of the slicing: grads land back at the angular
         # sub-block of each species' radial lanes.
         ddxr_ref[:] = unslice_ang(ddx, rows)
@@ -483,8 +526,13 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         pad = (-n) % bb
         dx, dy, dz, auxp = split_pad(deltas, aux, pad)
         gg = g
+        if bwd_impl == 'v2':
+            # v2 reads contiguous [B, n_seg] cotangent slices per (rs,ts):
+            # permute seg-major columns to (rs,ts)-major / seg-minor.
+            gg = gg.reshape(n, n_seg, a_len).transpose(0, 2, 1).reshape(
+                n, out_w)
         if pad:
-            gg = jnp.concatenate([g, jnp.zeros((pad, out_w), jnp.float32)])
+            gg = jnp.concatenate([gg, jnp.zeros((pad, out_w), jnp.float32)])
         ddx, ddy, ddz = run_bwd(dx, dy, dz, auxp, gg)
         dd = jnp.stack([ddx[:n], ddy[:n], ddz[:n]])
         return dd, None
@@ -499,18 +547,19 @@ _ANGULAR_CACHE: dict = {}
 def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
                        layout: BlockedLayout, block_size: int = 128,
                        interpret: Optional[bool] = None,
-                       rad_width: Optional[int] = None) -> Array:
+                       rad_width: Optional[int] = None,
+                       bwd_impl: str = 'v2') -> Array:
     """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
     into the reference layout and scaled by 2^(1-zeta) (autodiff chains
     through the placement).
 
     With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
     [N, rad_width, 3] (the angular lanes are static slices of it)."""
-    key = (basis, layout, block_size, interpret, rad_width)
+    key = (basis, layout, block_size, interpret, rad_width, bwd_impl)
     if key not in _ANGULAR_CACHE:
         _ANGULAR_CACHE[key] = make_angular_kernel(
             basis, layout, block_size=block_size, interpret=interpret,
-            rad_width=rad_width)
+            rad_width=rad_width, bwd_impl=bwd_impl)
     fn = _ANGULAR_CACHE[key]
     raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
     n = raw.shape[0]

@@ -68,7 +68,7 @@ def bspline_weights(dr: Array, order: int) -> Array:
 def bspline_moduli(grid_sizes: Sequence[int], order: int) -> Tuple[np.ndarray, ...]:
     """Squared DFT magnitudes of the B-spline for each grid axis.
 
-    Host-side float32 precompute, one per axis, following the standard PME
+    Host-side float64 precompute, one per axis, following the standard PME
     construction (Essmann et al. 1995; reference pme.py:94-129): evaluate the
     order-n spline at the integer knots, take |DFT|^2, and patch near-zero
     entries with the average of their neighbors.
@@ -96,7 +96,10 @@ def bspline_moduli(grid_sizes: Sequence[int], order: int) -> Tuple[np.ndarray, .
         small = m < 1e-7
         patched = 0.5 * (np.roll(m, 1) + np.roll(m, -1))
         m = np.where(small, patched, m)
-        moduli.append(m.astype(np.float32))
+        # Keep full f64 moduli: under jax_enable_x64 the reciprocal sum then
+        # runs at double precision end-to-end (the reference computes pmeCPU
+        # in double); without x64 jnp.asarray downcasts to f32 at use.
+        moduli.append(m)
     return tuple(moduli)
 
 
@@ -365,9 +368,11 @@ def reciprocal_eterm(box: Array, config: PMEConfig,
     m2 = mhx * mhx + mhy * mhy + mhz * mhz
 
     scale_factor = jnp.pi * box[0, 0] * box[1, 1] * box[2, 2]
-    denom = m2 * scale_factor * (moduli[0][:, None, None]
-                                 * moduli[1][None, :, None]
-                                 * moduli[2][None, None, :zsize])
+    # Match the working dtype (moduli are stored f64; see bspline_moduli).
+    mod = tuple(m.astype(box.dtype) for m in moduli)
+    denom = m2 * scale_factor * (mod[0][:, None, None]
+                                 * mod[1][None, :, None]
+                                 * mod[2][None, None, :zsize])
     exp_factor = (jnp.pi * jnp.pi) / (config.alpha * config.alpha)
     safe_m2 = jnp.where(m2 > 0, m2, 1.0)
     safe_denom = jnp.where(denom != 0, denom, 1.0)

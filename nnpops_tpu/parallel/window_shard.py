@@ -248,9 +248,14 @@ def window_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp'):
     def fn(params: ANIParams, positions: Array, box: Array,
            sel: WindowSelection) -> Array:
         shard_fn = functools.partial(_block_energy)
+        # check_vma=False: the block energy runs Pallas kernels, whose
+        # out_shape carries no varying-across-mesh annotation (JAX rejects
+        # that combination under the default vma checking); the reduction
+        # semantics are explicit here anyway (psum above).
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P()), out_specs=P())(
+            in_specs=(P(), P(), P(), P()), out_specs=P(),
+            check_vma=False)(
                 params, positions, box, sel)
 
     return fn

@@ -145,3 +145,24 @@ def test_nn_bf16_forces_within_reference_gate():
     # measured error is ~5e-3 here and ~1e-3 on smoother weight scales.
     # bf16 stays opt-in precisely because this sits at the reference gate.
     assert err < 1.2e-2, err
+
+
+def test_energy_batch_matches_loop(model_and_params):
+    """Conformer-batch API: vmapped energies/forces == per-conformer calls
+    (the molecule-batch dimension of BatchedNN.py:94-109, extended to the
+    AEV stage which the reference rejects, SymmetryFunctions.py:110-111)."""
+    model, params = model_and_params
+    rng = np.random.default_rng(11)
+    batch = jnp.asarray(METHANOL_POS[None] +
+                        0.05 * rng.standard_normal((4, 6, 3)).astype(np.float32))
+    energies, forces = model.energy_and_forces_batch(params, batch)
+    assert energies.shape == (4,)
+    assert forces.shape == (4, 6, 3)
+    assert jnp.ptp(energies) > 0   # conformers differ
+    for i in range(4):
+        e_i, f_i = model.energy_and_forces(params, batch[i])
+        np.testing.assert_allclose(float(energies[i]), float(e_i), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(forces[i]), np.asarray(f_i),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(model.energy_batch(params, batch)),
+                               np.asarray(energies), rtol=1e-6)
