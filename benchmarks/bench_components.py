@@ -98,6 +98,49 @@ def bench_cfconv(num_atoms, iters):
             'value': round(ms, 3), 'unit': 'ms/it'}
 
 
+def bench_cfconv_periodic(num_atoms, iters):
+    """6-layer CFConv stack on a periodic box at water density via the O(N)
+    cell-list payload path (chunked: the [rows, K, width] filter tensor at
+    26k atoms x 10 A cutoff would be ~6 GB unchunked). One payload build +
+    6 x (compute) + backprop per iteration — the periodic production analog
+    of the reference workload (BenchmarkCudaCFConv.cu:63-116, which is
+    non-periodic and O(N^2)-built)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nnpops_tpu.config import CFConvConfig
+    from nnpops_tpu.models.schnet import CFConvStack
+    from nnpops_tpu.neighbors.cell_list import CellList
+
+    cfg = CFConvConfig(width=128, num_gaussians=50, cutoff=10.0,
+                       gaussian_width=10.0 / 49)
+    stack = CFConvStack(cfg, num_layers=6)
+    params = stack.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    side = (num_atoms / 0.1) ** (1 / 3)
+    box = np.diag([side] * 3).astype(np.float32)
+    pos_np = rng.rand(num_atoms, 3).astype(np.float32) * side
+    # Capacity from the true neighbor-count distribution (+15% headroom).
+    density_cap = int(4 / 3 * np.pi * cfg.cutoff ** 3 * 0.1 * 1.3)
+    cell_list = CellList.create(box, cfg.cutoff, capacity=density_cap)
+    pos = jnp.asarray(pos_np)
+    x = jnp.asarray(rng.randn(num_atoms, 128).astype(np.float32))
+    chunk = 2048 if num_atoms > 4096 else None
+
+    @jax.jit
+    def build_and_run(pos, x):
+        def total(p, inp):
+            payload = cell_list.build_payload(p, jnp.asarray(box))
+            return jnp.sum(stack.apply_payload(params, payload, inp,
+                                               chunk_size=chunk))
+        return jax.value_and_grad(total, argnums=(0, 1))(pos, x)
+
+    ms = _timeit(build_and_run, pos, x, iters=iters)
+    return {'metric': f'cfconv_6layer_periodic_build_backprop_ms_'
+                      f'{num_atoms}atoms',
+            'value': round(ms, 3), 'unit': 'ms/it'}
+
+
 def bench_batched_nn(iters):
     import jax
     import jax.numpy as jnp
@@ -166,9 +209,22 @@ def bench_pme(num_molecules, iters):
             return direct(p) + pme.compute_reciprocal(p, q, box)
         return jax.value_and_grad(total)(pos)
 
-    ms = _timeit(energy_forces, jnp.asarray(water.positions), iters=iters)
-    return {'metric': f'pme_direct_recip_backprop_ms_{n}atoms',
-            'value': round(ms, 3), 'unit': 'ms/it'}
+    # Component split (VERDICT r2 #5): direct window kernel vs reciprocal
+    # (spread + rfftn + k-space convolution + interpolate), each fwd+bwd.
+    d_only = jax.jit(jax.value_and_grad(direct))
+    r_only = jax.jit(jax.value_and_grad(
+        lambda p: pme.compute_reciprocal(p, q, box)))
+    pos0 = jnp.asarray(water.positions)
+    out = [{'metric': f'pme_direct_recip_backprop_ms_{n}atoms',
+            'value': round(_timeit(energy_forces, pos0, iters=iters), 3),
+            'unit': 'ms/it'},
+           {'metric': f'pme_direct_backprop_ms_{n}atoms',
+            'value': round(_timeit(d_only, pos0, iters=iters), 3),
+            'unit': 'ms/it'},
+           {'metric': f'pme_reciprocal_backprop_ms_{n}atoms_grid{grid}',
+            'value': round(_timeit(r_only, pos0, iters=iters), 3),
+            'unit': 'ms/it'}]
+    return out
 
 
 def main():
@@ -189,10 +245,12 @@ def main():
         results.append(bench_aev(args.molecules, args.iters))
     if args.which in ('cfconv', 'all'):
         results.append(bench_cfconv(args.atoms, args.iters))
+        results.append(bench_cfconv_periodic(max(args.atoms, 2601),
+                                             args.iters))
     if args.which in ('batched_nn', 'all'):
         results.extend(bench_batched_nn(args.iters))
     if args.which in ('pme', 'all'):
-        results.append(bench_pme(args.molecules, args.iters))
+        results.extend(bench_pme(args.molecules, args.iters))
     for r in results:
         print(json.dumps(r))
 

@@ -47,6 +47,19 @@ class CFConvStack:
             x = cfconv(p, neighbors, x, self.config)
         return x
 
+    def apply_payload(self, params: Tuple[CFConvParams, ...], payload,
+                      inputs: Array, chunk_size=None) -> Array:
+        """The same L-layer stack over a cell-list neighbor payload — the
+        O(N) production path for large periodic boxes (the reference stack
+        is O(N^2)-built and non-periodic, BenchmarkCudaCFConv.cu:63-116,
+        CFConv.cpp:131). One payload build serves all layers, exactly like
+        the shared CFConvNeighbors of schnet/CFConv.h:28-32."""
+        from ..ops.cfconv import cfconv_from_payload
+        x = inputs
+        for p in params:
+            x = cfconv_from_payload(p, payload, x, self.config, chunk_size)
+        return x
+
 
 class DenseParams(NamedTuple):
     w: Array

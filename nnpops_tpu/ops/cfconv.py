@@ -91,7 +91,8 @@ def pair_filters(params: CFConvParams, distances: Array, mask: Array,
 
 
 def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
-                        config: CFConvConfig) -> Array:
+                        config: CFConvConfig,
+                        chunk_size: Optional[int] = None) -> Array:
     """CFConv over a directed per-atom neighbor payload (CellList.build_payload).
 
     O(N) alternative to the half-pair-list path for large periodic systems
@@ -101,17 +102,39 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
     CpuCFConv.cpp:182-185 is a plain per-atom masked sum; neighbor input
     vectors are fetched with one [N, K] gather per layer (the only dynamic
     indexing left — the geometry rides in the payload).
+
+    ``chunk_size``: process atom rows in blocks under ``lax.map``, bounding
+    the [rows, K, width] filter intermediate (26k atoms x ~450 lanes at a
+    10 A cutoff x width 128 would otherwise be a 6 GB tensor).
     """
     n, k = payload.distances.shape
     # Re-mask by the layer cutoff: the payload may carry a Verlet skin, and
     # the cosine cutoff is only valid for r <= cutoff (it rises again beyond).
     mask = payload.mask & (payload.distances < config.cutoff)
-    y2 = pair_filters(params, jnp.where(mask, payload.distances, 0.0),
-                      mask, config)                          # [N, K, W]
+    dist = jnp.where(mask, payload.distances, 0.0)
+    idx = jnp.where(mask, payload.indices, n)
     inputs_pad = jnp.concatenate([inputs, jnp.zeros((1, inputs.shape[1]),
                                                     inputs.dtype)])
-    x_nbr = inputs_pad[jnp.where(mask, payload.indices, n)]
-    return jnp.sum(y2 * x_nbr, axis=1)
+
+    def rows(d, m, i):
+        y2 = pair_filters(params, d, m, config)              # [rows, K, W]
+        return jnp.sum(y2 * inputs_pad[i], axis=1)
+
+    if chunk_size is None or n <= chunk_size:
+        return rows(dist, mask, idx)
+    pad = (-n) % chunk_size
+    nb = (n + pad) // chunk_size
+
+    def blocks(x, fill):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad, k), fill, x.dtype)], axis=0)
+        return x.reshape(nb, chunk_size, k)
+
+    out = jax.lax.map(
+        lambda args: rows(*args),
+        (blocks(dist, 0.0), blocks(mask, False), blocks(idx, n)))
+    return out.reshape(nb * chunk_size, -1)[:n]
 
 
 def cfconv(params: CFConvParams, neighbors: MaskedPairs, inputs: Array,

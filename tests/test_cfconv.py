@@ -135,3 +135,37 @@ def test_payload_path_matches_pairs(golden_cfconv):
     g = jax.grad(lambda p: jnp.sum(
         cfconv_from_payload(params, cl.build_payload(p, box), x, cfg)))(pos)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.slow
+def test_payload_stack_production_scale():
+    """Production-scale story: a CFConv stack at 2601 atoms on a periodic
+    box — chunked O(N) payload path == unchunked == O(N^2) half-pair path,
+    with position gradients. (The reference has no periodic CFConv at all:
+    CFConv.cpp:131 hardcodes periodic=false.)"""
+    from nnpops_tpu.models.schnet import CFConvStack
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(867, seed=5)            # 2601 atoms, ~29.7 A box
+    cfg = CFConvConfig(width=32, num_gaussians=16, cutoff=6.0,
+                       gaussian_width=6.0 / 15)
+    stack = CFConvStack(cfg, num_layers=3)
+    params = stack.init(jax.random.PRNGKey(2))
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2601, 32).astype(np.float32))
+
+    ref = stack(params, build_cfconv_neighbors(pos, cfg.cutoff, box), x)
+    cl = CellList.create(water.box, cfg.cutoff, capacity=128)
+    payload = cl.build_payload(pos, box)
+    got = stack.apply_payload(params, payload, x)
+    got_chunked = stack.apply_payload(params, payload, x, chunk_size=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_chunked), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(stack.apply_payload(
+        params, cl.build_payload(p, box), x, chunk_size=512)))(pos)
+    assert np.isfinite(np.asarray(g)).all()
