@@ -68,7 +68,8 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         bwd_block_size: Optional[int] = None,
                         interpret: Optional[bool] = None,
                         rad_width: Optional[int] = None,
-                        bwd_impl: str = 'v2'):
+                        bwd_impl: str = 'v2',
+                        dot_impl: str = 'mixed'):
     """Build the fused angular-AEV function for one (basis, layout).
 
     Returns ``fn(ang_deltas [3, N, Kat], ang_mask [N, Kat] bool) ->
@@ -127,26 +128,58 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     # The selection matmuls must NOT run at the default MXU precision: one
     # bf16 pass loses ~3 decimal digits of the coordinates (measured 1.6e-3
     # mean relative AEV error on-chip). Mosaic supports only DEFAULT and
-    # HIGHEST dot precisions (HIGH raises NotImplementedError in lowering),
-    # so the kernel pays full f32 (bf16x6) on its selection matmuls; the XLA
-    # einsum paths use HIGH (bf16x3), which is enough for 0/1 matrices.
+    # HIGHEST dot precisions (HIGH raises NotImplementedError in lowering).
+    # HIGHEST costs 6 bf16 passes per launch; but every matrix this kernel
+    # contracts against is a CONSTANT 0/1 selection/segment matrix (exact in
+    # bf16), so a hand-rolled bf16x3 — split the data operand into three
+    # bf16 terms hi/mid/lo covering the full f32 mantissa, three
+    # DEFAULT-precision launches, f32 accumulation — reproduces f32 exactly
+    # at half the MXU pass count. Measured on 26k tier shapes (probe_dot3):
+    # the FORWARD selection matmuls are launch-overhead-bound (one fused
+    # HIGHEST launch beats three split launches, 0.15 vs 0.89 ms big tier)
+    # while the BACKWARD matmuls are pass-bound (split3 wins 2.9 -> 1.7 /
+    # 3.5 -> 2.1 ms). 'mixed' (fwd HIGHEST, bwd split3; the default) takes
+    # both winners; both variants reproduce f32 bit-exactly on the fwd and
+    # to ~1e-7 relative on grads.
     _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
+    _split_fwd = dot_impl == 'split3'
+    _split_bwd = dot_impl in ('split3', 'mixed')
 
-    def pair_geometry(dx, dy, dz, m, selj, selk):
+    def _split3(a):
+        hi = a.astype(jnp.bfloat16)
+        r1 = a - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    def _dot_sel(a, cst, split):
+        """a @ cst for a constant 0/1 matrix ``cst``."""
+        if not split:
+            return _dot(a, cst.astype(jnp.float32))
+        hi, mid, lo = _split3(a)
+        cb = (cst if cst.dtype == jnp.bfloat16
+              else cst.astype(jnp.bfloat16))
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return (d(hi, cb) + d(mid, cb)) + d(lo, cb)
+
+    def pair_geometry(dx, dy, dz, m, seljk, split):
         """Shared forward geometry on [B, Tp] arrays.
 
         Masked lanes are pushed to a far-away coordinate before expansion so
         their pairs fail the r < ra test on their own — no mask expansion
-        matmuls needed (the cutoff test IS the mask)."""
+        matmuls needed (the cutoff test IS the mask). ``seljk`` is the
+        [Kat, 2*Tp] horizontal concat of the j- and k-selections: one fused
+        matmul per coordinate (halves the matmul-launch count vs separate
+        selj/selk contractions)."""
         far = 4.0 * ra
         dxm = dx + (1.0 - m) * far
-        x1 = _dot(dxm, selj)
-        y1 = _dot(dy, selj)
-        z1 = _dot(dz, selj)
-        x2 = _dot(dxm, selk)
-        y2 = _dot(dy, selk)
-        z2 = _dot(dz, selk)
+        x12 = _dot_sel(dxm, seljk, split)
+        y12 = _dot_sel(dy, seljk, split)
+        z12 = _dot_sel(dz, seljk, split)
+        x1, x2 = x12[:, :tp], x12[:, tp:]
+        y1, y2 = y12[:, :tp], y12[:, tp:]
+        z1, z2 = z12[:, :tp], z12[:, tp:]
         r1 = jnp.sqrt(x1 * x1 + y1 * y1 + z1 * z1)
         r2 = jnp.sqrt(x2 * x2 + y2 * y2 + z2 * z2)
         dot12 = x1 * x2 + y1 * y2 + z1 * z2
@@ -264,9 +297,9 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             off += ac
         return jnp.concatenate(pieces, axis=1)
 
-    def fwd_body(dx, dy, dz, m, selj, selk, out_ref):
+    def fwd_body(dx, dy, dz, m, seljk, out_ref):
         (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2
-         ) = pair_geometry(dx, dy, dz, m, selj, selk)
+         ) = pair_geometry(dx, dy, dz, m, seljk, _split_fwd)
         vf = valid * fc1 * fc2
         cps = cos_pows(cos_t, sin_t)
         es = rs_exps(rm)
@@ -278,18 +311,16 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                     col = i_seg * a_len + i_rs * n_ts + i_ts
                     out_ref[:, col] = jnp.sum(w[:, t0:t1], axis=1)
 
-    def fwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, selj_ref, selk_ref,
-                   out_ref):
+    def fwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, seljk_ref, out_ref):
         fwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
-                 selj_ref[:], selk_ref[:], out_ref)
+                 seljk_ref[:], out_ref)
 
-    def fwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, selj_ref,
-                       selk_ref, out_ref):
+    def fwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, seljk_ref,
+                       out_ref):
         fwd_body(slice_ang(dxr_ref[:]), slice_ang(dyr_ref[:]),
-                 slice_ang(dzr_ref[:]), m_ref[:],
-                 selj_ref[:], selk_ref[:], out_ref)
+                 slice_ang(dzr_ref[:]), m_ref[:], seljk_ref[:], out_ref)
 
-    def bwd_tail(geom, vf, dvf, drm, c_acc, selj, selk):
+    def bwd_tail(geom, vf, dvf, drm, c_acc, seljk):
         """Shared second half of the VJP: (dvf, drm, c_acc) -> input-delta
         cotangents. Same math in both cotangent-loop variants."""
         (d1, d2, r1, r2, dot12, valid, inv12, cos_t, sin_t, cross, rm,
@@ -352,15 +383,19 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         dd2x = dd2x * valid
         dd2y = dd2y * valid
         dd2z = dd2z * valid
-        seljt = selj.T
-        selkt = selk.T
-        ddx = _dot(dd1x, seljt) + _dot(dd2x, selkt)
-        ddy = _dot(dd1y, seljt) + _dot(dd2y, selkt)
-        ddz = _dot(dd1z, seljt) + _dot(dd2z, selkt)
+        # One matmul per coordinate at 2*Tp contraction depth: the j/k
+        # cotangents stack along the contraction axis of seljk's transpose.
+        sel_t = seljk.T                                  # [2*Tp, Kat]
+        ddx = _dot_sel(jnp.concatenate([dd1x, dd2x], axis=1), sel_t,
+                       _split_bwd)
+        ddy = _dot_sel(jnp.concatenate([dd1y, dd2y], axis=1), sel_t,
+                       _split_bwd)
+        ddz = _dot_sel(jnp.concatenate([dd1z, dd2z], axis=1), sel_t,
+                       _split_bwd)
         return ddx, ddy, ddz
 
-    def bwd_body(dx, dy, dz, m, g, selj, selk, segmask_ref):
-        geom = pair_geometry(dx, dy, dz, m, selj, selk)
+    def bwd_body(dx, dy, dz, m, g, seljk, segmask_ref):
+        geom = pair_geometry(dx, dy, dz, m, seljk, _split_bwd)
         (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2) = geom
         vf = valid * fc1 * fc2
         cps = cos_pows(cos_t, sin_t)
@@ -383,9 +418,9 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                 a_acc = a_acc + p * cps[i_ts]
                 b_acc = b_acc + p * cps[i_ts] * (-2.0 * eta * u)
                 c_acc[i_ts] = c_acc[i_ts] + p
-        return bwd_tail(geom, vf, a_acc, vf * b_acc, c_acc, selj, selk)
+        return bwd_tail(geom, vf, a_acc, vf * b_acc, c_acc, seljk)
 
-    def bwd_body_v2(dx, dy, dz, m, g, selj, selk, segmask_ref):
+    def bwd_body_v2(dx, dy, dz, m, g, seljk, segmask_ref):
         """Restructured cotangent loop: the per-(rs,ts,seg) full-width
         broadcast FMAs of v1 (~9 VPU passes per (rs,ts), n_seg of them just
         to paint the cotangent onto its lane segment) become one tiny MXU
@@ -394,7 +429,7 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         (rs is a scalar) so the loop costs ~11 passes per rs instead of
         ~9*n_ts. ``g`` arrives (rs,ts)-major / seg-minor (reordered by the
         caller) so each matmul reads a contiguous [B, n_seg] slice."""
-        geom = pair_geometry(dx, dy, dz, m, selj, selk)
+        geom = pair_geometry(dx, dy, dz, m, seljk, _split_bwd)
         (_, _, _, _, _, valid, _, cos_t, sin_t, _, rm, fc1, fc2) = geom
         vf = valid * fc1 * fc2
         cps = cos_pows(cos_t, sin_t)
@@ -409,33 +444,33 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             p_rs = zeros
             for i_ts in range(n_ts):
                 k0 = (i_rs * n_ts + i_ts) * n_seg
-                gt = _dot(g[:, k0:k0 + n_seg], seg)          # [B, Tp] MXU
+                gt = _dot_sel(g[:, k0:k0 + n_seg], seg,
+                              _split_bwd)                    # [B, Tp] MXU
                 p_rs = p_rs + gt * cps[i_ts]
                 c_acc[i_ts] = c_acc[i_ts] + gt * e_raw
             t_rs = e_raw * p_rs
             a_acc = a_acc + t_rs
             sb_acc = sb_acc + t_rs * rs
         drm = vf * (-2.0 * eta) * (a_acc * rm - sb_acc)
-        return bwd_tail(geom, vf, a_acc, drm, c_acc, selj, selk)
+        return bwd_tail(geom, vf, a_acc, drm, c_acc, seljk)
 
     _bwd_body = bwd_body_v2 if bwd_impl == 'v2' else bwd_body
 
-    def bwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, g_ref, selj_ref, selk_ref,
+    def bwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, g_ref, seljk_ref,
                    segmask_ref, ddx_ref, ddy_ref, ddz_ref):
         ddx, ddy, ddz = _bwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
-                                  g_ref[:], selj_ref[:], selk_ref[:],
-                                  segmask_ref)
+                                  g_ref[:], seljk_ref[:], segmask_ref)
         ddx_ref[:] = ddx
         ddy_ref[:] = ddy
         ddz_ref[:] = ddz
 
-    def bwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, g_ref, selj_ref,
-                       selk_ref, segmask_ref, ddxr_ref, ddyr_ref, ddzr_ref):
+    def bwd_kernel_rad(dxr_ref, dyr_ref, dzr_ref, m_ref, g_ref, seljk_ref,
+                       segmask_ref, ddxr_ref, ddyr_ref, ddzr_ref):
         rows = dxr_ref.shape[0]
         ddx, ddy, ddz = _bwd_body(
             slice_ang(dxr_ref[:]), slice_ang(dyr_ref[:]),
             slice_ang(dzr_ref[:]), m_ref[:], g_ref[:],
-            selj_ref[:], selk_ref[:], segmask_ref)
+            seljk_ref[:], segmask_ref)
         # Static transpose of the slicing: grads land back at the angular
         # sub-block of each species' radial lanes.
         ddxr_ref[:] = unslice_ang(ddx, rows)
@@ -448,7 +483,12 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     segmask_np = np.zeros((n_seg, tp), np.float32)
     for i_seg, (t0, t1) in enumerate(segs):
         segmask_np[i_seg, t0:t1] = 1.0
-    full_spec = pl.BlockSpec((kat, tp), lambda i: (0, 0),
+    seljk_np = np.concatenate([selj_np, selk_np], axis=1)   # [Kat, 2*Tp]
+    # 0/1 selections are exact in bf16: ship them pre-converted on split
+    # paths so the kernel never converts the constant per grid step.
+    _fwd_dtype = jnp.bfloat16 if _split_fwd else jnp.float32
+    _bwd_dtype = jnp.bfloat16 if _split_bwd else jnp.float32
+    full_spec = pl.BlockSpec((kat, 2 * tp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((n_seg, tp), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -476,11 +516,11 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         return pl.pallas_call(
             kfwd,
             grid=grid,
-            in_specs=[lane_spec(b)] * 3 + [aux_spec(b), full_spec, full_spec],
+            in_specs=[lane_spec(b)] * 3 + [aux_spec(b), full_spec],
             out_specs=row_spec(out_w),
             out_shape=jax.ShapeDtypeStruct((n, out_w), jnp.float32),
             interpret=interpret,
-        )(dx, dy, dz, aux, jnp.asarray(selj_np), jnp.asarray(selk_np))
+        )(dx, dy, dz, aux, jnp.asarray(seljk_np, dtype=_fwd_dtype))
 
     def run_bwd(dx, dy, dz, aux, g):
         n = dx.shape[0]
@@ -489,13 +529,13 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             kbwd,
             grid=grid,
             in_specs=[lane_spec(bb)] * 3 + [aux_spec(bb), row_spec(out_w, bb),
-                                            full_spec, full_spec, seg_spec],
+                                            full_spec, seg_spec],
             out_specs=(lane_spec(bb),) * 3,
             out_shape=tuple(jax.ShapeDtypeStruct((n, lane_w), jnp.float32)
                             for _ in range(3)),
             interpret=interpret,
-        )(dx, dy, dz, aux, g, jnp.asarray(selj_np), jnp.asarray(selk_np),
-          jnp.asarray(segmask_np))
+        )(dx, dy, dz, aux, g, jnp.asarray(seljk_np, dtype=_bwd_dtype),
+          jnp.asarray(segmask_np, dtype=_bwd_dtype))
 
     def split_pad(deltas, aux, pad):
         # deltas: [3, N, lane_w] coordinate planes — the leading-axis slices
@@ -548,18 +588,20 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
                        layout: BlockedLayout, block_size: int = 128,
                        interpret: Optional[bool] = None,
                        rad_width: Optional[int] = None,
-                       bwd_impl: str = 'v2') -> Array:
+                       bwd_impl: str = 'v2',
+                       dot_impl: str = 'mixed') -> Array:
     """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
     into the reference layout and scaled by 2^(1-zeta) (autodiff chains
     through the placement).
 
     With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
     [N, rad_width, 3] (the angular lanes are static slices of it)."""
-    key = (basis, layout, block_size, interpret, rad_width, bwd_impl)
+    key = (basis, layout, block_size, interpret, rad_width, bwd_impl,
+           dot_impl)
     if key not in _ANGULAR_CACHE:
         _ANGULAR_CACHE[key] = make_angular_kernel(
             basis, layout, block_size=block_size, interpret=interpret,
-            rad_width=rad_width, bwd_impl=bwd_impl)
+            rad_width=rad_width, bwd_impl=bwd_impl, dot_impl=dot_impl)
     fn = _ANGULAR_CACHE[key]
     raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
     n = raw.shape[0]

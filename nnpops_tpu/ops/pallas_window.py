@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -198,15 +199,16 @@ def make_window_radial_kernel(radial_cutoff: float,
     iter_radial_exps = make_radial_ladder(rc, etas, rs_list)
 
     def pair_geometry(candx, candy, candz, centers):
-        """[c, kk] pair deltas/r/fc from a [1, kk] window and [c, 3] centers.
+        """[G, c, kk] pair deltas/r/fc from [G, 1, kk] windows and
+        [G, c, 3] centers.
 
         Self-pairs are excluded by the static window-position identity
         (center row k lives at window column self_base + k); empty slots
         fail the cutoff via the FAR sentinel.
         """
-        dx = candx - centers[:, 0:1]
-        dy = candy - centers[:, 1:2]
-        dz = candz - centers[:, 2:3]
+        dx = candx - centers[:, :, 0:1]
+        dy = candy - centers[:, :, 1:2]
+        dz = candz - centers[:, :, 2:3]
         d2 = dx * dx + dy * dy + dz * dz
         lane = jax.lax.broadcasted_iota(jnp.int32, (c_ctr, kk), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (c_ctr, kk), 0)
@@ -214,39 +216,48 @@ def make_window_radial_kernel(radial_cutoff: float,
         for s in range(1, npres):
             self_lane = jnp.where(row >= int(ctr_offs[s]),
                                   row + sp_shift[s], self_lane)
-        valid = (d2 < rc * rc) & (lane != self_lane)
+        valid = (d2 < rc * rc) & (lane != self_lane)[None]
         r = jnp.sqrt(jnp.maximum(d2, 1e-12))
         fc = jnp.where(valid, 0.5 * jnp.cos(math.pi / rc * r) + 0.5, 0.0)
         return dx, dy, dz, r, fc, valid
 
     # Mosaic requires the last two block dims to be (8, 128)-aligned OR
-    # equal to the array dims. The [ncells, kk] lane arrays are therefore
-    # passed as [ncells, 1, kk] (block (1, 1, kk): both trailing dims equal
-    # the array dims) — one cell per grid step, no in-kernel cell loop, so
-    # Mosaic double-buffers the per-cell DMA across grid steps and VMEM
-    # holds a single cell's [c, kk] working set.
+    # equal to the array dims; the [ncells, kk] lane arrays are therefore
+    # passed as [ncells, 1, kk]. Several cells ride one grid step (block
+    # (G, 1, kk)): the per-grid-step Mosaic overhead (~1 us/cell measured
+    # at 26k — NOTES_PERF r3) amortizes over G cells, with G sized so the
+    # live [G, c, kk] working set stays inside scoped VMEM.
+    _budget = 10 * 2 ** 20
+
+    def _cells_per_step(n_arrays: int) -> int:
+        g = _budget // (n_arrays * c_ctr * kk * 4)
+        return int(max(1, min(8, g)))
+
+    g_fwd = int(os.environ.get('NNPOPS_WIN_GFWD', 0)) or _cells_per_step(7)
+    g_bwd = int(os.environ.get('NNPOPS_WIN_GBWD', 0)) or _cells_per_step(13)
 
     def fwd_kernel(candx_ref, candy_ref, candz_ref, centers_ref, out_ref):
-        cx = candx_ref[0]                                 # [1, kk]
-        cy = candy_ref[0]
-        cz = candz_ref[0]
-        ctr = centers_ref[0]                              # [c, 3]
+        cx = candx_ref[...]                               # [G, 1, kk]
+        cy = candy_ref[...]
+        cz = candz_ref[...]
+        ctr = centers_ref[...]                            # [G, c, 3]
         _, _, _, r, fc, _ = pair_geometry(cx, cy, cz, ctr)
         cols = [None] * out_w
         for q, e in iter_radial_exps(r):
-            we = fc * e                                   # [c, kk], one mult
+            we = fc * e                                   # [G, c, kk]
             for s, (b0, b1) in enumerate(sp_bounds):
                 cols[s * n_r + q] = scale * jnp.sum(
-                    we[:, b0:b1], axis=1, keepdims=True)
-        out_ref[0] = jnp.concatenate(cols, axis=1)        # [c, out_w]
+                    we[:, :, b0:b1], axis=2, keepdims=True)
+        out_ref[...] = jnp.concatenate(cols, axis=2)      # [G, c, out_w]
 
     def bwd_kernel(candx_ref, candy_ref, candz_ref, centers_ref,
                    g_ref, dcx_ref, dcy_ref, dcz_ref, dctr_ref):
-        cx = candx_ref[0]
-        cy = candy_ref[0]
-        cz = candz_ref[0]
-        ctr = centers_ref[0]
-        gg = g_ref[0]                                     # [c, out_w]
+        cx = candx_ref[...]
+        cy = candy_ref[...]
+        cz = candz_ref[...]
+        ctr = centers_ref[...]
+        gg = g_ref[...]                                   # [G, c, out_w]
+        gb = gg.shape[0]
         dx, dy, dz, r, fc, valid = pair_geometry(cx, cy, cz, ctr)
         dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
             math.pi / rc * r), 0.0)
@@ -254,72 +265,93 @@ def make_window_radial_kernel(radial_cutoff: float,
         # lane slice:
         #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
         #   alpha|slice_s = dfc A_s - 2 fc B_s
-        acc = [jnp.zeros((c_ctr, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
-        bcc = [jnp.zeros((c_ctr, b1 - b0), jnp.float32) for b0, b1 in sp_bounds]
+        acc = [jnp.zeros((gb, c_ctr, b1 - b0), jnp.float32)
+               for b0, b1 in sp_bounds]
+        bcc = [jnp.zeros((gb, c_ctr, b1 - b0), jnp.float32)
+               for b0, b1 in sp_bounds]
         for q, e in iter_radial_exps(r):
             eu = e * (etas[q] * (r - rs_list[q]))
             for s, (b0, b1) in enumerate(sp_bounds):
-                gq = gg[:, s * n_r + q:s * n_r + q + 1]   # [c, 1]
-                acc[s] = acc[s] + gq * e[:, b0:b1]
-                bcc[s] = bcc[s] + gq * eu[:, b0:b1]
+                gq = gg[:, :, s * n_r + q:s * n_r + q + 1]   # [G, c, 1]
+                acc[s] = acc[s] + gq * e[:, :, b0:b1]
+                bcc[s] = bcc[s] + gq * eu[:, :, b0:b1]
         alpha = jnp.concatenate(
-            [dfc[:, b0:b1] * acc[s] - 2.0 * fc[:, b0:b1] * bcc[s]
-             for s, (b0, b1) in enumerate(sp_bounds)], axis=1)
+            [dfc[:, :, b0:b1] * acc[s] - 2.0 * fc[:, :, b0:b1] * bcc[s]
+             for s, (b0, b1) in enumerate(sp_bounds)], axis=2)
         coef = (scale * alpha) / r                        # 0 on invalid pairs
         gx = coef * dx
         gy = coef * dy
         gz = coef * dz
-        dcx_ref[0] = jnp.sum(gx, axis=0, keepdims=True)
-        dcy_ref[0] = jnp.sum(gy, axis=0, keepdims=True)
-        dcz_ref[0] = jnp.sum(gz, axis=0, keepdims=True)
-        dctr_ref[0] = jnp.concatenate(
-            [-jnp.sum(gx, axis=1, keepdims=True),
-             -jnp.sum(gy, axis=1, keepdims=True),
-             -jnp.sum(gz, axis=1, keepdims=True)], axis=1)
+        dcx_ref[...] = jnp.sum(gx, axis=1, keepdims=True)
+        dcy_ref[...] = jnp.sum(gy, axis=1, keepdims=True)
+        dcz_ref[...] = jnp.sum(gz, axis=1, keepdims=True)
+        dctr_ref[...] = jnp.concatenate(
+            [-jnp.sum(gx, axis=2, keepdims=True),
+             -jnp.sum(gy, axis=2, keepdims=True),
+             -jnp.sum(gz, axis=2, keepdims=True)], axis=2)
 
-    def lane_spec():
-        return pl.BlockSpec((1, 1, kk), lambda i: (i, 0, 0),
+    def lane_spec(g):
+        return pl.BlockSpec((g, 1, kk), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def ctr_spec():
-        return pl.BlockSpec((1, c_ctr, 3), lambda i: (i, 0, 0),
+    def ctr_spec(g):
+        return pl.BlockSpec((g, c_ctr, 3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def out_spec():
-        return pl.BlockSpec((1, c_ctr, out_w), lambda i: (i, 0, 0),
+    def out_spec(g):
+        return pl.BlockSpec((g, c_ctr, out_w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def _mid(x):
         return x.reshape(x.shape[0], 1, x.shape[1])
 
+    def _pad_cells(x, pad, fill=0.0):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
     def run_fwd(candx, candy, candz, centers):
         ncells = candx.shape[0]
-        return pl.pallas_call(
+        pad = (-ncells) % g_fwd
+        np_ = ncells + pad
+        # Padded cells: candidates at FAR, centers at 2*FAR -> every pair
+        # fails the cutoff on its own.
+        out = pl.pallas_call(
             fwd_kernel,
-            grid=(ncells,),
-            in_specs=[lane_spec()] * 3 + [ctr_spec()],
-            out_specs=out_spec(),
-            out_shape=jax.ShapeDtypeStruct((ncells, c_ctr, out_w),
+            grid=(np_ // g_fwd,),
+            in_specs=[lane_spec(g_fwd)] * 3 + [ctr_spec(g_fwd)],
+            out_specs=out_spec(g_fwd),
+            out_shape=jax.ShapeDtypeStruct((np_, c_ctr, out_w),
                                            jnp.float32),
             interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), centers)
+        )(_pad_cells(_mid(candx), pad, FAR), _pad_cells(_mid(candy), pad, FAR),
+          _pad_cells(_mid(candz), pad, FAR),
+          _pad_cells(centers, pad, 2.0 * FAR))
+        return out[:ncells]
 
     def run_bwd(candx, candy, candz, centers, g):
         ncells = candx.shape[0]
+        pad = (-ncells) % g_bwd
+        np_ = ncells + pad
         dcx, dcy, dcz, dctr = pl.pallas_call(
             bwd_kernel,
-            grid=(ncells,),
-            in_specs=[lane_spec()] * 3 + [ctr_spec(), out_spec()],
-            out_specs=(lane_spec(), lane_spec(), lane_spec(), ctr_spec()),
-            out_shape=(jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, c_ctr, 3),
+            grid=(np_ // g_bwd,),
+            in_specs=[lane_spec(g_bwd)] * 3 + [ctr_spec(g_bwd),
+                                               out_spec(g_bwd)],
+            out_specs=(lane_spec(g_bwd),) * 3 + (ctr_spec(g_bwd),),
+            out_shape=(jax.ShapeDtypeStruct((np_, 1, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((np_, 1, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((np_, 1, kk), jnp.float32),
+                       jax.ShapeDtypeStruct((np_, c_ctr, 3),
                                             jnp.float32)),
             interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), centers, g)
-        return (dcx.reshape(ncells, kk), dcy.reshape(ncells, kk),
-                dcz.reshape(ncells, kk), dctr)
+        )(_pad_cells(_mid(candx), pad, FAR), _pad_cells(_mid(candy), pad, FAR),
+          _pad_cells(_mid(candz), pad, FAR),
+          _pad_cells(centers, pad, 2.0 * FAR), _pad_cells(g, pad))
+        return (dcx[:ncells].reshape(ncells, kk),
+                dcy[:ncells].reshape(ncells, kk),
+                dcz[:ncells].reshape(ncells, kk), dctr[:ncells])
 
     @jax.custom_vjp
     def window_radial(candx, candy, candz, centers):

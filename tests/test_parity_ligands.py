@@ -27,7 +27,27 @@ from nnpops_tpu.models.ani import ANIModel, init_ani_params
 from nnpops_tpu.utils.io import load_mol2
 
 MOLECULES = '/root/reference/src/pytorch/molecules'
+# Self-contained fixture data: coordinates + atomic numbers of the
+# reference's 7 drug-ligand mol2 files (implementation-independent test
+# DATA, same category as the golden AEV constants; regenerate with
+# tests/data/make_ligands_npz.py against a reference checkout).
+LIGANDS_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'data', 'ligands.npz')
 LIGANDS = ['1hvj', '1hvk', '2iuz', '3hkw', '3hky', '3lka', '3o99']
+
+
+def load_ligand(name):
+    """(positions [N,3] f64, atomic_numbers [N] int) for a named ligand:
+    from the in-repo npz fixture, else parsed from the mounted reference."""
+    if os.path.exists(LIGANDS_NPZ):
+        data = np.load(LIGANDS_NPZ)
+        return (data[f'{name}_positions'],
+                data[f'{name}_atomic_numbers'])
+    path = os.path.join(MOLECULES, f'{name}_ligand.mol2')
+    if not os.path.exists(path):
+        pytest.skip('no ligands.npz and reference fixtures not mounted')
+    mol = load_mol2(path)
+    return mol.positions, mol.atomic_numbers
 
 
 def torch_oracle_energy(positions, species, basis: ANIBasis, params):
@@ -120,12 +140,9 @@ def torch_oracle_energy(positions, species, basis: ANIBasis, params):
 
 @pytest.mark.parametrize('name', LIGANDS)
 def test_ligand_energy_force_parity(name):
-    path = os.path.join(MOLECULES, f'{name}_ligand.mol2')
-    if not os.path.exists(path):
-        pytest.skip('reference fixtures not mounted')
-    mol = load_mol2(path)
+    positions, atomic_numbers = load_ligand(name)
     basis = ANIBasis.ani2x()
-    model = ANIModel.from_atomic_numbers(mol.atomic_numbers, basis)
+    model = ANIModel.from_atomic_numbers(atomic_numbers, basis)
     # Realistic self-atomic energies (Hartree-scale, as in ANI-2x): the
     # reference's 5e-7 relative-energy gate is defined on SAE-dominated
     # totals (EnergyShifter.py:45-52); without them random-weight energies
@@ -138,10 +155,10 @@ def test_ligand_energy_force_parity(name):
                              self_energies=sae)
 
     e_jax, f_jax = jax.jit(model.energy_and_forces)(
-        params, jnp.asarray(mol.positions))
+        params, jnp.asarray(positions, jnp.float32))
 
     species = model.species_array
-    pos_t = torch.tensor(np.asarray(mol.positions, np.float64),
+    pos_t = torch.tensor(np.asarray(positions, np.float64),
                          requires_grad=True)
     e_t = torch_oracle_energy(pos_t, species, basis, params)
     e_t.backward()
@@ -156,7 +173,7 @@ def test_ligand_energy_force_parity(name):
     rel_e = abs(float(e_jax) - e_ref) / max(abs(e_ref), 1e-10)
     assert rel_e < 5e-7, (float(e_jax), e_ref)
     # Stricter, SAE-independent check: per-atom absolute NN-energy error.
-    per_atom = abs(float(e_jax) - e_ref) / mol.positions.shape[0]
+    per_atom = abs(float(e_jax) - e_ref) / positions.shape[0]
     assert per_atom < 2e-6, per_atom
     scale = np.abs(f_t).max()
     rel_f = np.abs(np.asarray(f_jax) - f_t).max() / scale
