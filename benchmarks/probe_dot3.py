@@ -23,7 +23,7 @@ from tpu_timing import slope_ms
 from nnpops_tpu.config import ANIBasis
 from nnpops_tpu.models.ani import ANIModel
 from nnpops_tpu.neighbors.window import (_part_deltas, _tiered_gather,
-                                         ang_as_rad_layout)
+                                         tier_layouts)
 from nnpops_tpu.neighbors.blocked import BlockedLayout
 from nnpops_tpu.ops.pallas_aev import angular_aev_pallas
 from nnpops_tpu.utils.water import make_water_box
@@ -47,39 +47,34 @@ t = sel.tier
 cc_a = (int(np.prod(layout.ang_cell_grid)) * sum(layout.ang_cell_caps)
         if layout.ang_cell_grid is not None
         else clist.num_cells * sum(layout.cell_caps))
-a_full = ang_as_rad_layout(layout)
-small = layout.ang_small_caps
-a_small = BlockedLayout(num_species=layout.num_species,
-                        present=layout.present,
-                        rad_caps=small, ang_caps=small)
+caps_all = (layout.ang_caps,) + tuple(layout.ang_tier_caps)
+lays = tier_layouts(layout)
+a_full, a_small = lays[0], lays[-1]
 
 
 def make_deltas(p):
     ps = p[sel.ang.order]
     slots = jnp.zeros((cc_a + 2, 3), p.dtype)
     slots = slots.at[sel.ang.slot_of_sorted].set(ps, mode='drop')
-    out_b, out_s = _tiered_gather(
-        slots, t.idx_big, t.idx_small, t.mir_big, t.mir_small,
-        t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small)
-    cb = slots[jnp.minimum(t.slot_rows_big, cc_a + 1)]
-    cs = slots[jnp.minimum(t.slot_rows_small, cc_a + 1)]
-    return (_part_deltas(out_b, cb, t.mask_big, box),
-            _part_deltas(out_s, cs, t.mask_small, box))
+    outs = _tiered_gather(slots, t.idx, t.mir, t.mask, t.slot_rows)
+    ctrs = [slots[jnp.minimum(sr, cc_a + 1)] for sr in t.slot_rows]
+    return (_part_deltas(outs[0], ctrs[0], t.mask[0], box),
+            _part_deltas(outs[-1], ctrs[-1], t.mask[-1], box))
 
 
 db, ds = jax.jit(make_deltas)(pos)
 jax.block_until_ready(db)
-print(f'tier shapes: big {db.shape} small {ds.shape}', flush=True)
+print(f'tier shapes: first {db.shape} last {ds.shape}', flush=True)
 
 results = {}
 for impl in ('highest', 'split3', 'mixed'):
     def kb(d, impl=impl):
-        return angular_aev_pallas(d, t.mask_big, basis, a_full,
+        return angular_aev_pallas(d, t.mask[0], basis, a_full,
                                   rad_width=d.shape[2], bwd_impl='v1',
                                   dot_impl=impl)
 
     def ks(d, impl=impl):
-        return angular_aev_pallas(d, t.mask_small, basis, a_small,
+        return angular_aev_pallas(d, t.mask[-1], basis, a_small,
                                   rad_width=d.shape[2], bwd_impl='v2',
                                   dot_impl=impl)
 

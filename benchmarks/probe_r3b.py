@@ -55,15 +55,12 @@ cc_a = (int(np.prod(layout.ang_cell_grid)) * sum(layout.ang_cell_caps)
         if layout.ang_cell_grid is not None
         else clist.num_cells * sum(layout.cell_caps))
 
-print(f'tier shapes: idx_big {t.idx_big.shape} idx_small {t.idx_small.shape}',
-      flush=True)
+print(f'tier shapes: {[ix.shape for ix in t.idx]}', flush=True)
 
 if PHASE == 1:
-    a_full = ang_as_rad_layout(layout)
-    small = layout.ang_small_caps
-    a_small = BlockedLayout(num_species=layout.num_species,
-                            present=layout.present,
-                            rad_caps=small, ang_caps=small)
+    from nnpops_tpu.neighbors.window import tier_bwd_impl, tier_layouts
+    caps_all = (layout.ang_caps,) + tuple(layout.ang_tier_caps)
+    lays = tier_layouts(layout)
 
     def slots_of(p):
         ps = p[sel.ang.order]
@@ -72,92 +69,36 @@ if PHASE == 1:
 
     def gather_only(p):
         slots = slots_of(p)
-        out_b, out_s = _tiered_gather(
-            slots, t.idx_big, t.idx_small, t.mir_big, t.mir_small,
-            t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small)
-        return out_b.sum() + out_s.sum()
+        outs = _tiered_gather(slots, t.idx, t.mir, t.mask, t.slot_rows)
+        return sum(o.sum() for o in outs)
 
     # Frozen deltas: kernel-only cost (no gather on the path).
     def make_deltas(p):
         slots = slots_of(p)
-        out_b, out_s = _tiered_gather(
-            slots, t.idx_big, t.idx_small, t.mir_big, t.mir_small,
-            t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small)
-        cb = slots[jnp.minimum(t.slot_rows_big, cc_a + 1)]
-        cs = slots[jnp.minimum(t.slot_rows_small, cc_a + 1)]
-        db = _part_deltas(out_b, cb, t.mask_big, box)
-        ds = _part_deltas(out_s, cs, t.mask_small, box)
-        return db, ds
+        outs = _tiered_gather(slots, t.idx, t.mir, t.mask, t.slot_rows)
+        ctrs = [slots[jnp.minimum(sr, cc_a + 1)] for sr in t.slot_rows]
+        return tuple(_part_deltas(o, c, m, box)
+                     for o, c, m in zip(outs, ctrs, t.mask))
 
-    db, ds = jax.jit(make_deltas)(pos)
-    jax.block_until_ready(db)
+    deltas = jax.jit(make_deltas)(pos)
+    jax.block_until_ready(deltas[0])
 
-    def kern_big(d):
-        return angular_aev_pallas(d, t.mask_big, basis, a_full,
-                                  rad_width=d.shape[2])
-
-    def kern_small(d):
-        return angular_aev_pallas(d, t.mask_small, basis, a_small,
-                                  rad_width=d.shape[2])
-
-    for name, f, arg in [
-            ('tier gather fwd', gather_only, (pos,)),
-            ('tier gather fwd+bwd',
-             lambda p: jax.grad(gather_only)(p).sum(), (pos,)),
-            ('ang kernel big fwd', lambda d: kern_big(d), (db,)),
-            ('ang kernel big fwd+bwd',
-             lambda d: jax.grad(lambda q: jnp.sum(kern_big(q) ** 2))(d).sum(),
-             (db,)),
-            ('ang kernel small fwd', lambda d: kern_small(d), (ds,)),
-            ('ang kernel small fwd+bwd',
-             lambda d: jax.grad(
-                 lambda q: jnp.sum(kern_small(q) ** 2))(d).sum(), (ds,)),
-    ]:
+    cases = [('tier gather fwd', gather_only, (pos,)),
+             ('tier gather fwd+bwd',
+              lambda p: jax.grad(gather_only)(p).sum(), (pos,))]
+    for ti in range(len(caps_all)):
+        def kern(d, ti=ti):
+            return angular_aev_pallas(d, t.mask[ti], basis, lays[ti],
+                                      rad_width=d.shape[2],
+                                      bwd_impl=tier_bwd_impl(caps_all[ti]))
+        cases.append((f'ang kernel t{ti} {deltas[ti].shape} fwd',
+                      kern, (deltas[ti],)))
+        cases.append((f'ang kernel t{ti} fwd+bwd',
+                      lambda d, kern=kern: jax.grad(
+                          lambda q: jnp.sum(kern(q) ** 2))(d).sum(),
+                      (deltas[ti],)))
+    for name, f, arg in cases:
         print(f'{name}: {slope_ms(f, arg):.3f} ms', flush=True)
-elif PHASE == 3:
-    # Angular kernel backward v1 vs v2 (matmul cotangent broadcast) on the
-    # production tier shapes.
-    a_full = ang_as_rad_layout(layout)
-    small = layout.ang_small_caps
-    a_small = BlockedLayout(num_species=layout.num_species,
-                            present=layout.present,
-                            rad_caps=small, ang_caps=small)
-
-    def slots_of(p):
-        ps = p[sel.ang.order]
-        s = jnp.zeros((cc_a + 2, 3), p.dtype)
-        return s.at[sel.ang.slot_of_sorted].set(ps, mode='drop')
-
-    def make_deltas(p):
-        slots = slots_of(p)
-        out_b, out_s = _tiered_gather(
-            slots, t.idx_big, t.idx_small, t.mir_big, t.mir_small,
-            t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small)
-        cb = slots[jnp.minimum(t.slot_rows_big, cc_a + 1)]
-        cs = slots[jnp.minimum(t.slot_rows_small, cc_a + 1)]
-        db = _part_deltas(out_b, cb, t.mask_big, box)
-        ds = _part_deltas(out_s, cs, t.mask_small, box)
-        return db, ds
-
-    db, ds = jax.jit(make_deltas)(pos)
-    jax.block_until_ready(db)
-    for impl in ('v1', 'v2'):
-        def kb(d):
-            return angular_aev_pallas(d, t.mask_big, basis, a_full,
-                                      rad_width=d.shape[2], bwd_impl=impl)
-
-        def ks(d):
-            return angular_aev_pallas(d, t.mask_small, basis, a_small,
-                                      rad_width=d.shape[2], bwd_impl=impl)
-        for name, f, arg in [
-                (f'{impl} big fwd+bwd',
-                 lambda d: jax.grad(
-                     lambda q: jnp.sum(kb(q) ** 2))(d).sum(), (db,)),
-                (f'{impl} small fwd+bwd',
-                 lambda d: jax.grad(
-                     lambda q: jnp.sum(ks(q) ** 2))(d).sum(), (ds,)),
-        ]:
-            print(f'{name}: {slope_ms(f, arg):.3f} ms', flush=True)
 elif PHASE == 2:
     from nnpops_tpu.neighbors.window import FAR
     cell_caps = layout.cell_caps

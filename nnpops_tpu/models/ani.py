@@ -161,7 +161,7 @@ class ANIModel:
         if cell_caps is not None:
             from ..neighbors.window import (plan_angular_tiers,
                                             plan_window_cells)
-            ang_small, ang_big_rows = plan_angular_tiers(
+            ang_tier_caps, ang_tier_rows = plan_angular_tiers(
                 positions, box, self.species_array, layout.present,
                 self.basis.angular_cutoff + skin, layout.ang_caps)
             # Dedicated angular candidate grid (cells sized by the angular
@@ -179,8 +179,8 @@ class ANIModel:
                                          cell_grid=cell_grid,
                                          small_caps=small_caps,
                                          num_big_cells=num_big,
-                                         ang_small_caps=ang_small,
-                                         ang_big_rows=ang_big_rows,
+                                         ang_tier_caps=ang_tier_caps,
+                                         ang_tier_rows=ang_tier_rows,
                                          ang_cell_caps=ang_ccaps,
                                          ang_cell_grid=ang_grid)
         window_radial = self.window_radial
@@ -366,7 +366,10 @@ class ANIModel:
             if self.blocked_layout.num_big_cells is not None:
                 counts['num_big_cells'] = wsel.n_big_true
             if wsel.tier is not None:
-                counts['ang_big_rows'] = wsel.tier.big_counts
+                # Cumulative per-tier row counts vs cumulative planned
+                # capacities (a tier-t row pushed past its tier's slice
+                # would run with too-small lane caps).
+                counts['ang_tier_rows'] = wsel.tier.tier_counts
             if wsel.clusters is not None:
                 # Cluster-radial soft failures (see ClusterSelection): the
                 # boolean geometric bound rides along as a 0/1 count.
@@ -415,9 +418,9 @@ class ANIModel:
                     self.blocked_layout.ang_cell_caps)
             if 'num_big_cells' in raw:
                 caps['num_big_cells'] = self.blocked_layout.num_big_cells
-            if 'ang_big_rows' in raw:
-                caps['ang_big_rows'] = np.asarray(
-                    self.blocked_layout.ang_big_rows)
+            if 'ang_tier_rows' in raw:
+                caps['ang_tier_rows'] = np.cumsum(np.asarray(
+                    self.blocked_layout.ang_tier_rows), axis=0)
             if 'cluster_jcount' in raw:
                 plan = self.blocked_layout.cluster_plan
                 caps['cluster_jcount'] = np.asarray(plan.jcaps)

@@ -66,13 +66,17 @@ class BlockedLayout:
     # None disables the split (every cell processed at cell_caps rows).
     small_caps: Optional[Tuple[int, ...]] = None
     num_big_cells: Optional[int] = None
-    # Angular row tiering (window mode): rows whose per-species angular
-    # counts fit ang_small_caps run the angular kernel with the (much
-    # smaller) small triple table and gather only the leading small lanes;
-    # at most ang_big_rows[i] rows of center-species present[i] may exceed
-    # it. None disables tiering.
-    ang_small_caps: Optional[Tuple[int, ...]] = None
-    ang_big_rows: Optional[Tuple[int, ...]] = None
+    # Angular row tiering (window mode): tier 0 runs the full ang_caps
+    # triple table; each further tier t >= 1 has smaller per-species caps
+    # ang_tier_caps[t-1] (nested: caps[t] <= caps[t-1] elementwise) and a
+    # quadratically smaller triple table. A row runs in the smallest tier
+    # whose caps hold its per-species angular counts. ang_tier_rows[t][i]
+    # is the planned static row capacity of tier t (t < ntiers-1) for
+    # center-species present[i]; the LAST tier takes the remaining rows.
+    # Exceeding a planned capacity is a reported soft failure. None
+    # disables tiering.
+    ang_tier_caps: Optional[Tuple[Tuple[int, ...], ...]] = None
+    ang_tier_rows: Optional[Tuple[Tuple[int, ...], ...]] = None
     # Dedicated ANGULAR cell grid (window mode): the per-refresh angular
     # candidate/compaction pipeline runs on cells sized by the (much
     # smaller) angular window instead of the radial cutoff — the [N, 27c]

@@ -55,26 +55,25 @@ Array = jnp.ndarray
 
 
 class AngTier(NamedTuple):
-    """Frozen angular row-tier bundle (see select_window): rows sorted
-    big-first within each species block; big rows gather all angular lanes,
-    small rows only the leading ang_small_caps lanes per species block.
-    Mirror indices are pre-translated into the packed two-tier flat space
-    so the joint gather's adjoint stays a frozen gather."""
+    """Frozen angular row-tier bundle (see select_window): rows sorted by
+    ascending tier id within each species block; tier-0 rows gather all
+    angular lanes, tier-t rows only the leading ang_tier_caps[t-1] lanes
+    per species block. Mirror indices are pre-translated into the packed
+    tier-major flat space ([tier0 rows x K0 | tier1 rows x K1 | ...]) so
+    the joint gather's adjoint stays a frozen gather."""
     row_order: Array       # [N] tiered row -> (angular-grid) sorted index
     row_atom: Array        # [N] tiered row -> original atom index
-    idx_big: Array         # [NB, Kat] neighbor slot ids
-    mask_big: Array        # [NB, Kat]
-    mir_big: Array         # [NB, Kat] packed-space mirror
-    slot_rows_big: Array   # [NB]
-    idx_small: Array       # [NS, Ksm]
-    mask_small: Array      # [NS, Ksm]
-    mir_small: Array       # [NS, Ksm]
-    slot_rows_small: Array  # [NS]
-    big_counts: Array      # [npres] true big-row counts (soft failure)
-    concat_pos: Array      # [N] tiered row -> position in [big; small]
+    idx: Tuple[Array, ...]        # per tier [R_t, K_t] neighbor slot ids
+    mask: Tuple[Array, ...]       # per tier [R_t, K_t]
+    mir: Tuple[Array, ...]        # per tier [R_t, K_t] packed-space mirror
+    slot_rows: Tuple[Array, ...]  # per tier [R_t]
+    # [ntiers-1, npres] true CUMULATIVE row counts of tiers 0..t (soft
+    # failure when one exceeds the planned cumulative row capacity).
+    tier_counts: Array
+    concat_pos: Array      # [N] tiered row -> packed tier-major position
     row_of_atom: Array     # [N] original atom index -> tiered row
-    crow_of_atom: Array    # [N] original atom index -> [big; small] row
-    inv_concat_pos: Array  # [N] [big; small] row -> tiered row (static)
+    crow_of_atom: Array    # [N] original atom index -> packed row
+    inv_concat_pos: Array  # [N] packed row -> tiered row (static)
 
 
 class WindowSelection(NamedTuple):
@@ -191,14 +190,15 @@ def _num_triples(caps) -> int:
 
 def plan_angular_tiers(positions, box, species, present, ang_window: float,
                        ang_caps: Tuple[int, ...]):
-    """Host-side planner for angular row tiering: (ang_small_caps,
-    ang_big_rows) or (None, None) when a split doesn't pay.
+    """Host-side planner for angular row tiering: (ang_tier_caps,
+    ang_tier_rows) or (None, None) when a split doesn't pay.
 
     The angular kernel's cost is rows x triple-table size; capacities hold
     the MAX per-species neighbor count while typical rows sit near the
     mean, so the full table wastes ~5x. Rows fitting a smaller capacity
-    run against the (quadratically smaller) small table; the planner picks
-    the small caps minimizing expected rows x triples."""
+    run against a (quadratically smaller) table; the planner searches
+    two- AND three-tier cap ladders (nested percentile caps) minimizing
+    the expected sum of rows x triples over tiers."""
     positions = np.asarray(positions, np.float64)
     species = np.asarray(species)
     n = len(positions)
@@ -258,25 +258,70 @@ def plan_angular_tiers(positions, box, species, present, ang_window: float,
             counts[atoms, s] = within[:, sp_idx[cand] == s].sum(1)
 
     t_full = _num_triples(ang_caps)
-    best = (float(t_full), None, None)
-    for pct in (50, 60, 70, 80, 90):
-        small = tuple(
+    pcts = (50, 60, 70, 80, 90)
+
+    def caps_at(pct):
+        return tuple(
             min(int(np.ceil(np.percentile(counts[:, s], pct))) + 1,
                 ang_caps[s]) for s in range(npres))
-        is_big = (counts > np.asarray(small)).any(axis=1)
-        frac_big = float(is_big.mean())
-        cost = frac_big * t_full + (1 - frac_big) * _num_triples(small)
+
+    def fits(caps_t):
+        return (counts <= np.asarray(caps_t)).all(axis=1)
+
+    best = (float(t_full), None)
+    for p1 in pcts:                                  # two tiers
+        c1 = caps_at(p1)
+        f1 = float(fits(c1).mean())
+        cost = (1.0 - f1) * t_full + f1 * _num_triples(c1)
         if cost < best[0] * 0.95:
-            best = (cost, small, is_big)
-    _, small, is_big = best
-    if small is None:
+            best = (cost, (c1,))
+    for p_mid in pcts:                               # three tiers
+        c_mid = caps_at(p_mid)
+        for p_sm in pcts:
+            if p_sm >= p_mid:
+                continue
+            c_sm = caps_at(p_sm)
+            if (c_sm == c_mid
+                    or any(a > b for a, b in zip(c_sm, c_mid))):
+                continue
+            fm = float(fits(c_mid).mean())
+            fs = float(fits(c_sm).mean())
+            cost = ((1.0 - fm) * t_full
+                    + (fm - fs) * _num_triples(c_mid)
+                    + fs * _num_triples(c_sm))
+            if cost < best[0] * 0.95:
+                best = (cost, (c_mid, c_sm))
+    _, tiers = best
+    if tiers is None:
         return None, None
-    big_rows = []
-    for i in range(npres):
-        cnt = int(is_big[sp_idx == i].sum())
-        cap = min(int(np.ceil(cnt * 1.5)) + 8, int((sp_idx == i).sum()))
-        big_rows.append(cap)
-    return small, tuple(big_rows)
+    caps_all = (ang_caps,) + tiers
+    ntiers = len(caps_all)
+    t_of = np.zeros(n, np.int64)
+    for t in range(1, ntiers):
+        t_of += fits(caps_all[t]).astype(np.int64)
+    # Planned static row capacities for tiers 0..ntiers-2 (the last tier
+    # takes the remainder), 1.5x-headroomed and cumulative-clamped so the
+    # remainder is never negative.
+    sp_counts = np.array([(sp_idx == i).sum() for i in range(npres)])
+    tier_rows = []
+    cum = np.zeros(npres, np.int64)
+    for t in range(ntiers - 1):
+        rows_t = []
+        for i in range(npres):
+            cnt = int(((t_of == t) & (sp_idx == i)).sum())
+            cap = min(int(np.ceil(cnt * 1.5)) + 8,
+                      int(sp_counts[i] - cum[i]))
+            rows_t.append(cap)
+        cum += np.asarray(rows_t)
+        tier_rows.append(tuple(rows_t))
+    # Drop trailing tiers the planned rows already exhaust (tiny systems).
+    while tiers and int((sp_counts - cum).sum()) == 0:
+        cum -= np.asarray(tier_rows[-1])
+        tiers = tiers[:-1]
+        tier_rows = tier_rows[:-1]
+    if not tiers:
+        return None, None
+    return tiers, tuple(tier_rows)
 
 
 @functools.lru_cache(maxsize=16)
@@ -306,45 +351,62 @@ def _window_tables(ncells3: Tuple[int, int, int]) -> Tuple[np.ndarray, ...]:
 
 
 @functools.lru_cache(maxsize=32)
-def _tier_static(present_counts: Tuple[int, ...], big_caps: Tuple[int, ...]):
+def _tier_rows_static(present_counts: Tuple[int, ...],
+                      planned: Tuple[Tuple[int, ...], ...]):
+    """Per-tier per-species static row counts: planned capacities for
+    tiers 0..T-2, the remainder for the last tier."""
+    tier_rows = [tuple(int(x) for x in p) for p in planned]
+    tier_rows.append(tuple(
+        int(cnt) - sum(tr[i] for tr in tier_rows)
+        for i, cnt in enumerate(present_counts)))
+    return tier_rows
+
+
+def _tier_static(present_counts: Tuple[int, ...],
+                 tier_rows: Tuple[Tuple[int, ...], ...]):
     """Static tier-row-space tables (see AngTier): rows are species blocks
-    (sizes present_counts), each split [big capacity | small]. Returns
-    (nb_tot, concat_pos) where concat_pos maps a tiered row to its position
-    in the packed [all big rows | all small rows] concatenation."""
+    (sizes present_counts), each split into consecutive per-tier segments
+    of sizes tier_rows[t][i]. Returns (tier_tot, concat_pos) where
+    concat_pos maps a tiered row to its position in the packed tier-major
+    concatenation [all tier-0 rows | all tier-1 rows | ...]."""
     starts = np.cumsum((0,) + present_counts)[:-1]
-    nb_tot = int(sum(big_caps))
-    cum_bc = np.cumsum((0,) + big_caps)[:-1]
-    small_sizes = tuple(c - b for c, b in zip(present_counts, big_caps))
-    cum_sc = np.cumsum((0,) + small_sizes)[:-1]
+    ntiers = len(tier_rows)
+    tier_tot = [int(sum(tr)) for tr in tier_rows]
+    tier_base = np.cumsum([0] + tier_tot)
+    cum_sp = [np.cumsum((0,) + tuple(tr))[:-1] for tr in tier_rows]
     concat_pos = np.empty(sum(present_counts), np.int32)
-    for i, (st, cnt, bc) in enumerate(zip(starts, present_counts, big_caps)):
-        concat_pos[st:st + bc] = cum_bc[i] + np.arange(bc)
-        concat_pos[st + bc:st + cnt] = (nb_tot + cum_sc[i]
-                                        + np.arange(cnt - bc))
-    return nb_tot, concat_pos
+    for i, st in enumerate(starts):
+        off = st
+        for t in range(ntiers):
+            r = tier_rows[t][i]
+            concat_pos[off:off + r] = (tier_base[t] + cum_sp[t][i]
+                                       + np.arange(r))
+            off += r
+    return tier_tot, concat_pos
 
 
-def _mirror_packed(srows_big, idx_big, mask_big, srows_small, idx_small,
-                   mask_small, cc: int):
-    """Mirror indices built DIRECTLY in the packed two-tier flat space
-    ([big rows x Kat | small rows x Ksm]) — same two-sort pairing as
-    ``blocked._build_mirror``, but run on ~40% fewer entries (small rows
-    carry only their Ksm lanes) and with no after-the-fact translation.
+def _mirror_packed(segments, cc: int):
+    """Mirror indices built DIRECTLY in the packed tier-major flat space
+    ([tier-0 rows x K0 | tier-1 rows x K1 | ...]) — same two-sort pairing
+    as ``blocked._build_mirror``, but run on far fewer entries (tier-t
+    rows carry only their K_t lanes) and with no after-the-fact
+    translation. ``segments``: per tier (slot_rows [R_t], idx [R_t, K_t],
+    mask [R_t, K_t]).
 
-    Pairing correctness: each valid directed entry (i -> j) has its reverse
-    (j -> i) present in the packed space — a small row's valid lanes all
-    sit inside its leading small-cap lanes by the tier definition. Rows
-    beyond the big-row capacity lose lanes and break pairing; that is the
-    ``big_counts > ang_big_rows`` soft failure (results already invalid).
-    """
-    nb, kat = idx_big.shape
-    ns, ksm = idx_small.shape
-    tot = nb * kat + ns * ksm
+    Pairing correctness: each valid directed entry (i -> j) has its
+    reverse (j -> i) present in the packed space — a tier-t row's valid
+    lanes all sit inside its leading tier-t-cap lanes by the tier
+    definition. Rows pushed past a planned tier capacity lose lanes and
+    break pairing; that is the ``tier_counts`` soft failure (results
+    already invalid)."""
+    shapes = [idx.shape for _, idx, _ in segments]
+    sizes = [r * k for r, k in shapes]
+    tot = sum(sizes)
     s1 = jnp.concatenate([
-        jnp.broadcast_to(srows_big[:, None], (nb, kat)).reshape(-1),
-        jnp.broadcast_to(srows_small[:, None], (ns, ksm)).reshape(-1)])
-    s2 = jnp.concatenate([idx_big.reshape(-1), idx_small.reshape(-1)])
-    valid = jnp.concatenate([mask_big.reshape(-1), mask_small.reshape(-1)])
+        jnp.broadcast_to(sr[:, None], idx.shape).reshape(-1)
+        for sr, idx, _ in segments])
+    s2 = jnp.concatenate([idx.reshape(-1) for _, idx, _ in segments])
+    valid = jnp.concatenate([m.reshape(-1) for _, _, m in segments])
     valid = valid & (s1 <= cc)
     flat = jnp.arange(tot, dtype=jnp.int32)
     base = cc + 2
@@ -364,8 +426,12 @@ def _mirror_packed(srows_big, idx_big, mask_big, srows_small, idx_small,
                                 num_keys=2)
     mir = jnp.full((tot,), tot, jnp.int32).at[v1].set(v2)
     mir = jnp.where(valid, mir, tot)
-    return (mir[:nb * kat].reshape(nb, kat),
-            mir[nb * kat:].reshape(ns, ksm))
+    out, off = [], 0
+    for (r, k), sz in zip(shapes, sizes):
+        out.append(jax.lax.slice_in_dim(mir, off, off + sz,
+                                        axis=0).reshape(r, k))
+        off += sz
+    return tuple(out)
 
 
 def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
@@ -382,22 +448,34 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
     of the 26k select (NOTES_PERF.md round-2 session 5).
     """
     a_caps = layout.ang_caps
-    small = layout.ang_small_caps
-    bigc = layout.ang_big_rows
+    caps_all = (a_caps,) + tuple(layout.ang_tier_caps)
+    ntiers = len(caps_all)
     ang_offs = np.cumsum((0,) + a_caps)[:-1]
-    nb_tot, concat_pos_np = _tier_static(present_counts, bigc)
+    tier_rows = _tier_rows_static(present_counts, layout.ang_tier_rows)
+    _, concat_pos_np = _tier_static(present_counts, tier_rows)
+    # Species-block-relative cumulative row offsets of each tier segment.
+    cum_rows = np.zeros((ntiers + 1, len(present_counts)), np.int64)
+    for t in range(ntiers):
+        cum_rows[t + 1] = cum_rows[t] + np.asarray(tier_rows[t])
 
-    is_big_sorted = jnp.any(
-        counts > jnp.asarray(np.asarray(small, np.int32))[None, :], axis=1)
+    # Tier id per sorted row: the smallest-capacity tier that holds the
+    # per-species counts (caps are nested, so fits are monotone).
+    t_of = jnp.zeros(counts.shape[0], jnp.int32)
+    for ct in caps_all[1:]:
+        ca = jnp.asarray(np.asarray(ct, np.int32))
+        t_of += jnp.all(counts <= ca[None, :], axis=1).astype(jnp.int32)
     io_g = inv_order[jnp.asarray(np.asarray(grouping_order, np.int32))]
-    blk = is_big_sorted[io_g]
+    tk = t_of[io_g]
     starts = np.cumsum((0,) + present_counts)[:-1]
-    parts, big_counts = [], []
+    parts, cum_counts = [], []
     for st, cnt in zip(starts, present_counts):
-        b = jax.lax.slice_in_dim(blk, int(st), int(st) + cnt, axis=0)
+        b = jax.lax.slice_in_dim(tk, int(st), int(st) + cnt, axis=0)
         parts.append(int(st)
-                     + jnp.argsort(~b, stable=True).astype(jnp.int32))
-        big_counts.append(jnp.sum(b.astype(jnp.int32)))
+                     + jnp.argsort(b, stable=True).astype(jnp.int32))
+        cum_counts.append(jnp.stack(
+            [jnp.sum((b <= q).astype(jnp.int32))
+             for q in range(ntiers - 1)]))
+    tier_counts = jnp.stack(cum_counts, axis=1)        # [ntiers-1, npres]
     perm = jnp.concatenate(parts)
     io_t = io_g[perm]                                  # tiered row -> sorted
     row_atom = jnp.asarray(np.asarray(grouping_order, np.int32))[perm]
@@ -406,26 +484,27 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
     srows_t = slot32[io_t]
 
     def split_rows(x):
-        bigs = [jax.lax.slice_in_dim(x, int(st), int(st) + bc, axis=0)
-                for st, bc in zip(starts, bigc)]
-        smalls = [jax.lax.slice_in_dim(x, int(st) + bc, int(st) + cnt, axis=0)
-                  for st, bc, cnt in zip(starts, bigc, present_counts)]
-        return jnp.concatenate(bigs, 0), jnp.concatenate(smalls, 0)
+        return [jnp.concatenate(
+            [jax.lax.slice_in_dim(x, int(st + cum_rows[t][i]),
+                                  int(st + cum_rows[t + 1][i]), axis=0)
+             for i, st in enumerate(starts)], 0) for t in range(ntiers)]
 
-    idx_big, rest_n = split_rows(nbr_t)
-    mask_big, rest_m = split_rows(mask_t)
-    srows_big, srows_small = split_rows(srows_t)
+    nbr_tiers = split_rows(nbr_t)
+    mask_tiers = split_rows(mask_t)
+    srows_tiers = split_rows(srows_t)
 
-    def small_lanes(x):
+    def tier_lanes(x, caps_t):
         return jnp.concatenate(
             [jax.lax.slice_in_dim(x, int(ao), int(ao) + sc, axis=1)
-             for ao, sc in zip(ang_offs, small)], axis=1)
+             for ao, sc in zip(ang_offs, caps_t)], axis=1)
 
-    idx_small = small_lanes(rest_n)
-    mask_small = small_lanes(rest_m)
-    mir_big, mir_small = _mirror_packed(srows_big, idx_big, mask_big,
-                                        srows_small, idx_small, mask_small,
-                                        cc)
+    idx_tiers = [nbr_tiers[0]] + [tier_lanes(nbr_tiers[t], caps_all[t])
+                                  for t in range(1, ntiers)]
+    msk_tiers = [mask_tiers[0]] + [tier_lanes(mask_tiers[t], caps_all[t])
+                                   for t in range(1, ntiers)]
+    mirs = _mirror_packed(
+        [(srows_tiers[t], idx_tiers[t], msk_tiers[t])
+         for t in range(ntiers)], cc)
     # Inverse row maps (per refresh): they turn every per-step adjoint of
     # the tier pipeline into a gather (atom -> its unique tier/concat row).
     n = row_atom.shape[0]
@@ -437,55 +516,42 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
         jnp.asarray(concat_pos_np))
     return AngTier(
         row_order=io_t, row_atom=row_atom,
-        idx_big=idx_big, mask_big=mask_big,
-        mir_big=mir_big, slot_rows_big=srows_big,
-        idx_small=idx_small, mask_small=mask_small,
-        mir_small=mir_small, slot_rows_small=srows_small,
-        big_counts=jnp.stack(big_counts),
+        idx=tuple(idx_tiers), mask=tuple(msk_tiers),
+        mir=tuple(mirs), slot_rows=tuple(srows_tiers),
+        tier_counts=tier_counts,
         concat_pos=jnp.asarray(concat_pos_np),
         row_of_atom=row_of_atom, crow_of_atom=crow_of_atom,
         inv_concat_pos=jnp.asarray(inv_concat_np))
 
 
 @jax.custom_vjp
-def _tiered_gather(slots, idx_b, idx_s, mir_b, mir_s, mask_b, mask_s,
-                   srows_b, srows_s):
-    """Joint two-tier slot gather whose adjoint is a frozen gather through
-    the packed-space mirror (big and small entries mirror across tiers, so
-    the VJP must see both cotangents at once)."""
-    nb, kat = idx_b.shape
-    ns, ksm = idx_s.shape
-    out_b = slots[idx_b.reshape(-1)].reshape(nb, kat, 3).transpose(2, 0, 1)
-    out_s = slots[idx_s.reshape(-1)].reshape(ns, ksm, 3).transpose(2, 0, 1)
-    return out_b, out_s
+def _tiered_gather(slots, idx, mir, mask, srows):
+    """Joint N-tier slot gather (tuple args, one array per tier) whose
+    adjoint is a frozen gather through the packed-space mirror (entries
+    mirror across tiers, so the VJP must see all cotangents at once)."""
+    return tuple(
+        slots[ix.reshape(-1)].reshape(ix.shape + (3,)).transpose(2, 0, 1)
+        for ix in idx)
 
 
-def _tiered_gather_fwd(slots, idx_b, idx_s, mir_b, mir_s, mask_b, mask_s,
-                       srows_b, srows_s):
-    out = _tiered_gather(slots, idx_b, idx_s, mir_b, mir_s, mask_b, mask_s,
-                         srows_b, srows_s)
-    return out, (idx_b.shape, idx_s.shape, mir_b, mir_s, mask_b, mask_s,
-                 srows_b, srows_s, slots.shape[0])
+def _tiered_gather_fwd(slots, idx, mir, mask, srows):
+    out = _tiered_gather(slots, idx, mir, mask, srows)
+    return out, (tuple(ix.shape for ix in idx), mir, mask, srows,
+                 slots.shape[0])
 
 
 def _tiered_gather_bwd(res, g):
-    ((nb, kat), (ns, ksm), mir_b, mir_s, mask_b, mask_s,
-     srows_b, srows_s, n_slots) = res
-    g_b, g_s = g
+    shapes, mir, mask, srows, n_slots = res
     flat = jnp.concatenate(
-        [g_b.transpose(1, 2, 0).reshape(nb * kat, 3),
-         g_s.transpose(1, 2, 0).reshape(ns * ksm, 3),
-         jnp.zeros((1, 3), g_b.dtype)], axis=0)
-    gm_b = flat[mir_b.reshape(-1)].reshape(nb, kat, 3).transpose(2, 0, 1)
-    gm_b = jnp.where(mask_b[None], gm_b, 0.0)
-    pa_b = jnp.sum(gm_b, axis=2)                       # [3, NB]
-    gm_s = flat[mir_s.reshape(-1)].reshape(ns, ksm, 3).transpose(2, 0, 1)
-    gm_s = jnp.where(mask_s[None], gm_s, 0.0)
-    pa_s = jnp.sum(gm_s, axis=2)
-    d_slots = jnp.zeros((n_slots, 3), g_b.dtype)
-    d_slots = d_slots.at[srows_b].set(pa_b.T, mode='drop')
-    d_slots = d_slots.at[srows_s].set(pa_s.T, mode='drop')
-    return (d_slots,) + (None,) * 8
+        [gt.transpose(1, 2, 0).reshape(r * k, 3)
+         for gt, (r, k) in zip(g, shapes)]
+        + [jnp.zeros((1, 3), g[0].dtype)], axis=0)
+    d_slots = jnp.zeros((n_slots, 3), g[0].dtype)
+    for (r, k), mr, ms, sr in zip(shapes, mir, mask, srows):
+        gm = flat[mr.reshape(-1)].reshape(r, k, 3).transpose(2, 0, 1)
+        gm = jnp.where(ms[None], gm, 0.0)
+        d_slots = d_slots.at[sr].set(jnp.sum(gm, axis=2).T, mode='drop')
+    return (d_slots,) + (None,) * 4
 
 
 _tiered_gather.defvjp(_tiered_gather_fwd, _tiered_gather_bwd)
@@ -505,43 +571,39 @@ def _make_tier_geometry(cc: int):
     through the frozen atom->concat-row map."""
 
     @jax.custom_vjp
-    def tier_geometry(p, order, slot_of_sorted, idx_b, idx_s, mask_b,
-                      mask_s, srows_b, srows_s, mir_b, mir_s, crow_of_atom):
+    def tier_geometry(p, order, slot_of_sorted, idx, mask, srows, mir,
+                      crow_of_atom):
         pos_sorted = p[order]
         slots = jnp.zeros((cc + 2, 3), p.dtype)
         slots = slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
-        nb, kat = idx_b.shape
-        ns, ksm = idx_s.shape
-        out_b = slots[idx_b.reshape(-1)].reshape(nb, kat, 3).transpose(
-            2, 0, 1)
-        out_s = slots[idx_s.reshape(-1)].reshape(ns, ksm, 3).transpose(
-            2, 0, 1)
-        ctr_b = slots[jnp.minimum(srows_b, cc + 1)]
-        ctr_s = slots[jnp.minimum(srows_s, cc + 1)]
-        return out_b, out_s, ctr_b, ctr_s
+        outs = tuple(
+            slots[ix.reshape(-1)].reshape(ix.shape + (3,)).transpose(
+                2, 0, 1) for ix in idx)
+        ctrs = tuple(slots[jnp.minimum(sr, cc + 1)] for sr in srows)
+        return outs, ctrs
 
-    def _fwd(p, order, slot_of_sorted, idx_b, idx_s, mask_b, mask_s,
-             srows_b, srows_s, mir_b, mir_s, crow_of_atom):
-        out = tier_geometry(p, order, slot_of_sorted, idx_b, idx_s, mask_b,
-                            mask_s, srows_b, srows_s, mir_b, mir_s,
-                            crow_of_atom)
-        return out, (idx_b.shape, idx_s.shape, mask_b, mask_s, mir_b,
-                     mir_s, crow_of_atom)
+    def _fwd(p, order, slot_of_sorted, idx, mask, srows, mir,
+             crow_of_atom):
+        out = tier_geometry(p, order, slot_of_sorted, idx, mask, srows,
+                            mir, crow_of_atom)
+        return out, (tuple(ix.shape for ix in idx), mask, mir,
+                     crow_of_atom)
 
     def _bwd(res, g):
-        (nb, kat), (ns, ksm), mask_b, mask_s, mir_b, mir_s, crow = res
-        g_b, g_s, gc_b, gc_s = g
+        shapes, mask, mir, crow = res
+        g_outs, g_ctrs = g
         flat = jnp.concatenate(
-            [g_b.transpose(1, 2, 0).reshape(nb * kat, 3),
-             g_s.transpose(1, 2, 0).reshape(ns * ksm, 3),
-             jnp.zeros((1, 3), g_b.dtype)], axis=0)
-        gm_b = flat[mir_b.reshape(-1)].reshape(nb, kat, 3).transpose(2, 0, 1)
-        pa_b = jnp.sum(jnp.where(mask_b[None], gm_b, 0.0), axis=2)  # [3,NB]
-        gm_s = flat[mir_s.reshape(-1)].reshape(ns, ksm, 3).transpose(2, 0, 1)
-        pa_s = jnp.sum(jnp.where(mask_s[None], gm_s, 0.0), axis=2)
-        rows_all = jnp.concatenate([pa_b.T + gc_b, pa_s.T + gc_s], axis=0)
+            [gt.transpose(1, 2, 0).reshape(r * k, 3)
+             for gt, (r, k) in zip(g_outs, shapes)]
+            + [jnp.zeros((1, 3), g_outs[0].dtype)], axis=0)
+        rows = []
+        for (r, k), ms, mr, gc in zip(shapes, mask, mir, g_ctrs):
+            gm = flat[mr.reshape(-1)].reshape(r, k, 3).transpose(2, 0, 1)
+            pa = jnp.sum(jnp.where(ms[None], gm, 0.0), axis=2)   # [3, R_t]
+            rows.append(pa.T + gc)
+        rows_all = jnp.concatenate(rows, axis=0)
         dp = rows_all[crow]                                  # [N, 3] gather
-        return (dp,) + (None,) * 11
+        return (dp,) + (None,) * 7
 
     tier_geometry.defvjp(_fwd, _bwd)
     return tier_geometry
@@ -901,8 +963,8 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     slot_to_atom = jnp.full((cc_a + 1,), n, jnp.int32)
     slot_to_atom = slot_to_atom.at[slot_of_sorted].set(order, mode='drop')
     tiering = (grouping_order is not None and present_counts is not None
-               and layout.ang_small_caps is not None
-               and layout.ang_big_rows is not None)
+               and layout.ang_tier_caps is not None
+               and layout.ang_tier_rows is not None)
     if tiering:
         # The full-width mirror is never consumed on the tiered path (the
         # angular payload rides _tiered_gather's packed mirror); skip the
@@ -964,37 +1026,46 @@ def _part_deltas(out3, centers, mask, box):
     return jnp.where(mask[None], deltas, 0.0)
 
 
+def tier_layouts(layout: BlockedLayout):
+    """Per-tier kernel layouts: tier 0 = the full angular caps, tier t =
+    ang_tier_caps[t-1] as both rad and ang caps."""
+    lays = [ang_as_rad_layout(layout)]
+    for caps_t in layout.ang_tier_caps:
+        lays.append(BlockedLayout(num_species=layout.num_species,
+                                  present=layout.present,
+                                  rad_caps=caps_t, ang_caps=caps_t))
+    return lays
+
+
+def tier_bwd_impl(caps_t) -> str:
+    """Kernel-backward A/B on chip (NOTES_PERF r3): the matmul cotangent
+    broadcast (v2) wins on narrow triple tables, the slice-FMA loop (v1)
+    on wide ones (measured crossover between Tp 512 and 1152)."""
+    return 'v1' if _num_triples(caps_t) >= 768 else 'v2'
+
+
 def _tiered_angular(positions: Array, box: Array,
                     wsel: WindowSelection, basis, layout: BlockedLayout,
                     cc: int, interpret):
-    """Two-tier angular AEV: big rows against the full triple table, small
-    rows against the (quadratically smaller) small-capacity table, via one
-    joint mirror-adjoint gather. ``cc`` is the ANGULAR grid's slot count.
-    Returns (tiered row_atom, angular)."""
+    """N-tier angular AEV: tier-t rows run against their tier's
+    (quadratically smaller) triple table, via one joint mirror-adjoint
+    gather. ``cc`` is the ANGULAR grid's slot count. Returns (tiered
+    row_atom, angular)."""
     from ..ops.pallas_aev import angular_aev_pallas
     sel = wsel.ang
     t = wsel.tier
-    small = layout.ang_small_caps
-    a_full = ang_as_rad_layout(layout)
-    a_small = BlockedLayout(num_species=layout.num_species,
-                            present=layout.present,
-                            rad_caps=small, ang_caps=small)
-    out_b, out_s, centers_b, centers_s = _make_tier_geometry(cc)(
-        positions, sel.order, sel.slot_of_sorted, t.idx_big, t.idx_small,
-        t.mask_big, t.mask_small, t.slot_rows_big, t.slot_rows_small,
-        t.mir_big, t.mir_small, t.crow_of_atom)
-    deltas_b = _part_deltas(out_b, centers_b, t.mask_big, box)
-    # Kernel-backward A/B on chip (NOTES_PERF r3): the matmul cotangent
-    # broadcast (v2) wins on the narrow small tier, the slice-FMA loop (v1)
-    # on the wide big tier.
-    ang_b = angular_aev_pallas(deltas_b, t.mask_big, basis, a_full,
-                               interpret=interpret,
-                               rad_width=deltas_b.shape[2], bwd_impl='v1')
-    deltas_s = _part_deltas(out_s, centers_s, t.mask_small, box)
-    ang_s = angular_aev_pallas(deltas_s, t.mask_small, basis, a_small,
-                               interpret=interpret,
-                               rad_width=deltas_s.shape[2], bwd_impl='v2')
-    cat = jnp.concatenate([ang_b, ang_s], axis=0)
+    caps_all = (layout.ang_caps,) + tuple(layout.ang_tier_caps)
+    lays = tier_layouts(layout)
+    outs, ctrs = _make_tier_geometry(cc)(
+        positions, sel.order, sel.slot_of_sorted, t.idx, t.mask,
+        t.slot_rows, t.mir, t.crow_of_atom)
+    angs = []
+    for ti in range(len(caps_all)):
+        deltas = _part_deltas(outs[ti], ctrs[ti], t.mask[ti], box)
+        angs.append(angular_aev_pallas(
+            deltas, t.mask[ti], basis, lays[ti], interpret=interpret,
+            rad_width=deltas.shape[2], bwd_impl=tier_bwd_impl(caps_all[ti])))
+    cat = jnp.concatenate(angs, axis=0)
     angular = _perm_gather(cat, t.concat_pos, t.inv_concat_pos)
     return t.row_atom, angular
 

@@ -300,9 +300,10 @@ def pipeline_ani_ensemble_energy(model: ANIModel, mesh: Mesh,
                                         for i in range(stages)])
                 return (nxt, acc), None
 
-            buf0 = jax.lax.pvary(jnp.zeros((m, mb, h_max), x_all.dtype),
-                                 (axis,))
-            acc0 = jax.lax.pvary(jnp.zeros((), x_all.dtype), (axis,))
+            buf0 = jax.lax.pcast(jnp.zeros((m, mb, h_max), x_all.dtype),
+                                 (axis,), to='varying')
+            acc0 = jax.lax.pcast(jnp.zeros((), x_all.dtype), (axis,),
+                                 to='varying')
             (_, acc), _ = jax.lax.scan(tick, (buf0, acc0),
                                        jnp.arange(num_mb + stages - 1))
             return jax.lax.psum(acc, axis)

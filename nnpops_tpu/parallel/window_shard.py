@@ -38,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.ani import ANIModel, ANIParams
 from ..neighbors.window import (WindowSelection, _make_stencil_window,
-                                _part_deltas, ang_as_rad_layout)
+                                _part_deltas)
 from ..neighbors.blocked import BlockedLayout
 from ..ops.pallas_aev import angular_aev_pallas
 from ..ops.pallas_window import FAR, window_radial_aev
@@ -82,26 +82,26 @@ def window_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp'):
     else:
         cc_a = cc
 
-    # Static tier segmentation: [big_0 .. big_P-1, small_0 .. small_P-1]
+    # Static tier segmentation: per tier, [tier rows of species 0 .. P-1]
     # row ranges, each split into dsz equal (padded) sub-blocks.
     g = model.grouping
     present_counts = tuple(int(g.counts[s]) for s in layout.present)
-    bigc = tuple(int(x) for x in layout.ang_big_rows) \
-        if layout.ang_big_rows is not None else None
-    if bigc is None:
+    if layout.ang_tier_rows is None:
         raise ValueError('window_sharded_energy requires angular tiering '
-                         '(layout.ang_big_rows); plan with '
+                         '(layout.ang_tier_rows); plan with '
                          'with_blocked_layout(impl="window")')
-    smallc = tuple(cnt - bc for cnt, bc in zip(present_counts, bigc))
-    big_starts = np.cumsum((0,) + bigc)[:-1]
-    small_starts = np.cumsum((0,) + smallc)[:-1]
-    big_sub = tuple(_ceil_to(bc, dsz) // dsz for bc in bigc)
-    small_sub = tuple(_ceil_to(sc, dsz) // dsz for sc in smallc)
-    a_full = ang_as_rad_layout(layout)
-    small_caps = tuple(int(x) for x in layout.ang_small_caps)
-    a_small = BlockedLayout(num_species=layout.num_species,
-                            present=layout.present,
-                            rad_caps=small_caps, ang_caps=small_caps)
+    from ..neighbors.window import _tier_rows_static, tier_layouts
+    tier_rows = _tier_rows_static(present_counts, layout.ang_tier_rows)
+    ntiers = len(tier_rows)
+    tier_starts = [np.cumsum((0,) + tuple(tr))[:-1] for tr in tier_rows]
+    tier_sub = [tuple(_ceil_to(r, dsz) // dsz for r in tr)
+                for tr in tier_rows]
+    # Species-block-relative row offset of tier t inside row_atom's
+    # species-major / tier-sorted order.
+    cum_rows = np.zeros((ntiers + 1, npres), np.int64)
+    for t in range(ntiers):
+        cum_rows[t + 1] = cum_rows[t] + np.asarray(tier_rows[t])
+    tier_lays = tier_layouts(layout)
     species_np = model.species_array
 
     def _slice_seg(x, start: int, count: int, sub: int, d, fill):
@@ -113,15 +113,13 @@ def window_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp'):
         return jax.lax.dynamic_slice_in_dim(padded, d * sub, sub, axis=0)
 
     def _gather_rows(t, d, fill_idx):
-        """Per-device tier rows: (idx, mask, slot_rows) for big and small,
-        padded per segment so the species layout is static."""
+        """Per-device tier rows: (idx, mask, slot_rows) per tier, padded
+        per segment so the species layout is static."""
         outs = []
-        for (arrs, starts, counts, subs) in (
-                ((t.idx_big, t.mask_big, t.slot_rows_big), big_starts, bigc,
-                 big_sub),
-                ((t.idx_small, t.mask_small, t.slot_rows_small),
-                 small_starts, smallc, small_sub)):
-            idx, mask, srows = arrs
+        for ti in range(ntiers):
+            idx, mask, srows = t.idx[ti], t.mask[ti], t.slot_rows[ti]
+            starts, counts, subs = (tier_starts[ti], tier_rows[ti],
+                                    tier_sub[ti])
             pi, pm, ps = [], [], []
             for i in range(npres):
                 pi.append(_slice_seg(idx, int(starts[i]), counts[i],
@@ -190,21 +188,18 @@ def window_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp'):
         slots_a = jnp.zeros((cc_a + 2, 3), positions.dtype)
         slots_a = slots_a.at[sel.ang.slot_of_sorted].set(pos_sorted_a,
                                                          mode='drop')
-        (idx_b, mask_b, srows_b), (idx_s, mask_s, srows_s) = _gather_rows(
-            t, d, cc_a + 1)
-        # Tier row order is [per species: big rows | small rows]; row_atom
-        # follows that order, so species i's small rows start at
-        # off_all[i] + bigc[i].
+        tiers_d = _gather_rows(t, d, cc_a + 1)
+        # Tier row order is [per species: tier-0 rows | tier-1 | ...];
+        # row_atom follows that order, so species i's tier-ti rows start
+        # at off_all[i] + cum_rows[ti][i].
         off_all = np.cumsum((0,) + present_counts)[:-1]
-        big_atom, small_atom = [], []
-        for i in range(npres):
-            big_atom.append(_slice_seg(t.row_atom, int(off_all[i]), bigc[i],
-                                       big_sub[i], d, 0))
-            small_atom.append(_slice_seg(t.row_atom,
-                                         int(off_all[i]) + bigc[i],
-                                         smallc[i], small_sub[i], d, 0))
-        atom_b = jnp.concatenate(big_atom)
-        atom_s = jnp.concatenate(small_atom)
+        tier_atoms = []
+        for ti in range(ntiers):
+            parts = [_slice_seg(t.row_atom,
+                                int(off_all[i] + cum_rows[ti][i]),
+                                tier_rows[ti][i], tier_sub[ti][i], d, 0)
+                     for i in range(npres)]
+            tier_atoms.append(jnp.concatenate(parts))
 
         def ang_block(idx, mask, srows, lay):
             out3 = slots_a[idx.reshape(-1)].reshape(
@@ -214,8 +209,8 @@ def window_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp'):
             return angular_aev_pallas(deltas, mask, basis, lay,
                                       rad_width=deltas.shape[2])
 
-        ang_rows_b = ang_block(idx_b, mask_b, srows_b, a_full)
-        ang_rows_s = ang_block(idx_s, mask_s, srows_s, a_small)
+        tier_ang = [ang_block(idx, mask, srows, tier_lays[ti])
+                    for ti, (idx, mask, srows) in enumerate(tiers_d)]
 
         # ---- Full AEV rows + per-species NN on static layouts.
         def full_feat(ang_rows, atom_idx):
@@ -233,13 +228,12 @@ def window_sharded_energy(model: ANIModel, mesh: Mesh, axis: str = 'dp'):
 
         # Row validity: padded rows carry slot cc_a+1 (centers read the
         # zero pad row) — detect via the fill marker on slot_rows.
-        mrow_b = srows_b < cc_a + 1
-        mrow_s = srows_s < cc_a + 1
-        e_b = _species_energy(params, full_feat(ang_rows_b, atom_b),
-                              big_sub, mrow_b)
-        e_s = _species_energy(params, full_feat(ang_rows_s, atom_s),
-                              small_sub, mrow_s)
-        total = e_b + e_s
+        total = jnp.zeros((), jnp.float32)
+        for ti, (idx, mask, srows) in enumerate(tiers_d):
+            mrow = srows < cc_a + 1
+            total = total + _species_energy(
+                params, full_feat(tier_ang[ti], tier_atoms[ti]),
+                tier_sub[ti], mrow)
         # SAE once (device 0 only).
         sae = jnp.sum(params.self_energies[jnp.asarray(species_np)])
         total = total + jnp.where(d == 0, sae, 0.0)

@@ -199,7 +199,7 @@ def test_window_pipeline_sharded_matches_single_device():
     model = model.with_blocked_layout(water.positions, water.box,
                                       impl='window', skin=0.25)
     assert model.aev_impl == 'window'
-    assert model.blocked_layout.ang_big_rows is not None, (
+    assert model.blocked_layout.ang_tier_rows is not None, (
         'test needs angular tiering to engage at this scale')
     params = init_ani_params(jax.random.PRNGKey(0), basis,
                              self_energies=np.linspace(-40, -1, 7))

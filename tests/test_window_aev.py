@@ -122,6 +122,64 @@ def test_window_cell_bucketing_parity(setup):
     np.testing.assert_allclose(f2, f1, rtol=1e-5, atol=1e-6 * scale)
 
 
+def test_window_three_tier_parity(setup):
+    """Forcing a THREE-tier angular row ladder (full / mid / small caps)
+    changes nothing: energies and forces match the pallas oracle. Tier
+    caps/rows are built from brute-force angular neighbor counts so no
+    planned capacity overflows."""
+    water, window, pallas, params, cl = setup
+    layout = window.blocked_layout
+    if layout.ang_tier_caps is None:
+        pytest.skip('tiering not planned for this box')
+    pos_np = np.asarray(water.positions, np.float64)
+    box_np = np.asarray(water.box, np.float64)
+    n = len(pos_np)
+    delta = pos_np[None] - pos_np[:, None]
+    for ax in (2, 1, 0):
+        delta -= np.round(delta[..., ax:ax + 1] / box_np[ax, ax]) * box_np[ax]
+    d = np.sqrt((delta ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    ra = window.basis.angular_cutoff + 0.25          # setup skin = default
+    sp = np.asarray(window.species_array)
+    pres = layout.present
+    counts = np.stack([(d[:, sp == pres[i]] < ra).sum(1)
+                       for i in range(len(pres))], axis=1)
+    caps = np.asarray(layout.ang_caps)
+    mid = np.minimum(np.ceil(
+        np.percentile(counts, 85, axis=0)).astype(int) + 1, caps - 1)
+    small = np.minimum(np.ceil(
+        np.percentile(counts, 50, axis=0)).astype(int) + 1, mid - 1)
+    small = np.maximum(small, 1)
+    mid = np.maximum(mid, small)
+    fits_mid = (counts <= mid).all(1)
+    fits_small = (counts <= small).all(1)
+    t_of = fits_mid.astype(int) + fits_small.astype(int)
+    rows = []
+    cum = np.zeros(len(pres), np.int64)
+    for t in (0, 1):
+        r = np.array([max(int(((t_of == t) & (sp == pres[i])).sum()), 1) + 4
+                      for i in range(len(pres))])
+        r = np.minimum(r, np.array([(sp == pres[i]).sum()
+                                    for i in range(len(pres))]) - cum - 1)
+        r = np.maximum(r, 0)
+        rows.append(tuple(int(x) for x in r))
+        cum += r
+    tiered_layout = dataclasses.replace(
+        layout,
+        ang_tier_caps=(tuple(int(x) for x in mid),
+                       tuple(int(x) for x in small)),
+        ang_tier_rows=tuple(rows))
+    tiered = dataclasses.replace(window, blocked_layout=tiered_layout)
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    tiered.check_overflow(pos, box, cl)    # forced capacities must hold
+    e1, f1 = pallas.energy_and_forces_fused(params, pos, box, cl)
+    e2, f2 = tiered.energy_and_forces_fused(params, pos, box, cl)
+    np.testing.assert_allclose(e2, e1, rtol=1e-5)
+    scale = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
+
+
 def test_window_requires_cells():
     water = make_water_box(8, seed=1)         # box far below 3 cells
     basis = ANIBasis.ani2x()
