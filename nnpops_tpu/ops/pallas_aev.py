@@ -43,6 +43,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Degree-5 Chebyshev-node LSQ fits (benchmarks/probe_fastpow.py) for the
+# dyadic fractional pow: log2(1+t)/t on t in [0,1) (abs resid 1.2e-5) and
+# 2^f on f in [0,1) (resid 1.1e-7). Coefficients low-order-first.
+_C_LOG = (1.4426832519485477, -0.7204423704168592, 0.4693016870332133,
+          -0.3033896669269639, 0.1464336140114986, -0.034595210911174755)
+_C_EXP = (0.9999998957631365, 0.6931546200032991, 0.2401407700918444,
+          0.055863282659239226, 0.00894621466635782, 0.0018951072909910687)
+
+
 def _selection_np(idx: np.ndarray, k: int) -> np.ndarray:
     sel = np.zeros((k, len(idx)), dtype=np.float32)   # [Kat, T]
     sel[idx, np.arange(len(idx))] = 1.0
@@ -69,7 +78,8 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         interpret: Optional[bool] = None,
                         rad_width: Optional[int] = None,
                         bwd_impl: str = 'v2',
-                        dot_impl: str = 'mixed'):
+                        dot_impl: str = 'mixed',
+                        pow_impl: str = 'split'):
     """Build the fused angular-AEV function for one (basis, layout).
 
     Returns ``fn(ang_deltas [3, N, Kat], ang_mask [N, Kat] bool) ->
@@ -247,6 +257,38 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             run = run * _l_c2
         return es
 
+    _fast_pow = pow_impl == 'fast'
+
+    def _frac_pow(base, zf):
+        """base**zf for base in [1e-20, 2.05], 0 < zf < 1.
+
+        'fast' replaces the multi-pass exp/log pair with a dyadic
+        exp2/log2 built from f32 bit manipulation plus two degree-5
+        polynomials (Chebyshev-node LSQ fits, benchmarks/probe_fastpow.py;
+        log2 abs resid 1.2e-5, exp2 resid 1.1e-7). The log2 error is
+        amplified only by zf <= 1 — the integer part of the zeta exponent
+        stays on the exact binary-exponentiation path below — so the
+        factor lands within ~1e-6 relative (measured over the domain)."""
+        if not _fast_pow:
+            return jnp.exp(zf * jnp.log(base))
+        xi = jax.lax.bitcast_convert_type(base, jnp.int32)
+        e = ((xi >> 23) & 0xFF).astype(jnp.float32) - 127.0
+        m = jax.lax.bitcast_convert_type(
+            (xi & 0x007FFFFF) | 0x3F800000, jnp.float32)
+        t = m - 1.0                                  # log2(base) = e+log2(1+t)
+        p = _C_LOG[-1]
+        for c in _C_LOG[-2::-1]:
+            p = p * t + c
+        y = zf * (e + t * p)
+        k = jnp.floor(y)
+        f = y - k
+        q = _C_EXP[-1]
+        for c in _C_EXP[-2::-1]:
+            q = q * f + c
+        scale = jax.lax.bitcast_convert_type(
+            (k.astype(jnp.int32) + 127) << 23, jnp.float32)
+        return q * scale
+
     def pow_static(base, exponent):
         """base ** exponent with the integer part done by binary
         exponentiation: exp(z*log x) alone amplifies log's absolute error by
@@ -264,7 +306,7 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             if k:
                 sq = sq * sq
         if zf > 1e-12:
-            frac = jnp.exp(zf * jnp.log(base))
+            frac = _frac_pow(base, zf)
             result = frac if result is None else result * frac
         return result if result is not None else jnp.ones_like(base)
 
@@ -589,7 +631,8 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
                        interpret: Optional[bool] = None,
                        rad_width: Optional[int] = None,
                        bwd_impl: str = 'v2',
-                       dot_impl: str = 'mixed') -> Array:
+                       dot_impl: str = 'mixed',
+                       pow_impl: str = 'split') -> Array:
     """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
     into the reference layout and scaled by 2^(1-zeta) (autodiff chains
     through the placement).
@@ -597,11 +640,12 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
     With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
     [N, rad_width, 3] (the angular lanes are static slices of it)."""
     key = (basis, layout, block_size, interpret, rad_width, bwd_impl,
-           dot_impl)
+           dot_impl, pow_impl)
     if key not in _ANGULAR_CACHE:
         _ANGULAR_CACHE[key] = make_angular_kernel(
             basis, layout, block_size=block_size, interpret=interpret,
-            rad_width=rad_width, bwd_impl=bwd_impl, dot_impl=dot_impl)
+            rad_width=rad_width, bwd_impl=bwd_impl, dot_impl=dot_impl,
+            pow_impl=pow_impl)
     fn = _ANGULAR_CACHE[key]
     raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
     n = raw.shape[0]

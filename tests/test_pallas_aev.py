@@ -68,6 +68,29 @@ def test_pallas_angular_gradient_matches_xla(torchani):
     np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_angular_fast_pow_matches_split():
+    """pow_impl='fast' (dyadic exp2/log2 polynomial pow) stays within
+    float32 noise of the exp/log path, values and gradients. The fast
+    path measured SLOWER on the production chip (benchmarks/probe_pow.py,
+    NOTES_PERF round-3 session 4) so 'split' stays the default; this keeps
+    the alternate correctness-tested."""
+    basis = small_basis()
+    payload, layout = make_payload(basis, seed=4)
+    kw = dict(basis=basis, layout=layout, block_size=16)
+    want = angular_aev_pallas(payload.ang_deltas, payload.ang_mask, **kw)
+    got = angular_aev_pallas(payload.ang_deltas, payload.ang_mask,
+                             pow_impl='fast', **kw)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+    def loss(d, impl):
+        a = angular_aev_pallas(d, payload.ang_mask, pow_impl=impl, **kw)
+        return jnp.sum(a * a)
+
+    g1 = jax.grad(loss)(payload.ang_deltas, 'split')
+    g2 = jax.grad(loss)(payload.ang_deltas, 'fast')
+    np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_angular_block_padding():
     """N not a multiple of the block size pads internally and strips back."""
     basis = small_basis()
