@@ -401,7 +401,10 @@ def _build_mirror(slot_rows: Array, nbr: Array, mask: Array, cc: int) -> Array:
         k2b = jnp.where(valid, s1, big)
         _, _, v1 = jax.lax.sort([k1a, k1b, flat], num_keys=2)
         _, _, v2 = jax.lax.sort([k2a, k2b, flat], num_keys=2)
-    mirror = jnp.full((n * k,), n * k, jnp.int32).at[v1].set(v2)
+    # mirror[v1[i]] = v2[i]; v1 is a full permutation, so a third key-value
+    # sort IS the scatter (a flat .at[v1].set(v2) pays gather-like per-row
+    # latency; a sort pass is dense — window._mirror_packed, same trick).
+    _, mirror = jax.lax.sort([v1, v2], num_keys=1)
     mirror = jnp.where(mask.reshape(-1), mirror, n * k)
     return mirror.reshape(n, k)
 

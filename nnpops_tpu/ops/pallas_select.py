@@ -1,0 +1,140 @@
+"""Pallas left-pack kernel for the window-select compaction phase.
+
+The angular candidate phase ends with a per-species LEFT-PACK: of the ~27c
+window lanes per atom, keep the <= cap valid candidate slot ids, packed to
+the leading lanes. ``blocked``/``window`` did this with a full bitonic
+lane sort (jax.lax.sort over [N, 27*cs] int32 — measured 4.8 ms of the 26k
+select, benchmarks/probe_select_r3.py). A sort is overkill: compaction
+only needs each valid lane's RANK among valid lanes, and rank is a 0/1
+matmul on the MXU (valid @ lower-triangular-ones — exact in bf16), after
+which cap masked row-sums extract the packed values on the VPU.
+
+Cost model at 26k (W=768, K=48): rank matmul ~8 G bf16 MACs (~0.05 ms) +
+48 masked extraction passes over [N, 384] (~1.5 G VPU ops, ~0.7 ms) vs
+4.8 ms of sort passes.
+
+Note the output packs lanes in WINDOW-LANE order (stencil-entry-major),
+not slot-ascending like the sort did: every consumer (tier packing,
+mirror pairing, the angular kernel's static triple tables) is
+order-agnostic, and the order is still deterministic.
+
+Reference behavior being reproduced: the per-species neighbor-list
+compaction of CudaANISymmetryFunctions.cu (warp-scan compaction); this is
+the MXU/VPU re-expression.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=32)
+def make_left_pack(widths: Tuple[int, ...], caps: Tuple[int, ...],
+                   interpret: Optional[bool] = None,
+                   block_rows: Optional[int] = None):
+    """Build ``fn(combo [N, W]) -> (packed [N, K], counts [N, npres])``.
+
+    ``combo``: per species block s a [N, widths[s]] f32 slab (concatenated
+    along lanes, each block zero-padded to a 128-multiple lane width by the
+    caller — W = sum of padded widths) holding the candidate KEY on valid
+    lanes and -1 on invalid/pad lanes. Keys must be exact in f32 (< 2^24).
+    ``packed``: per block the first caps[s] valid keys in lane order
+    (concatenated; K = sum(caps)), -1 beyond the count. ``counts``: the
+    per-block valid totals (f32).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+    widths = tuple(int(w) for w in widths)
+    caps = tuple(int(k) for k in caps)
+    pws = tuple(_round_up(w, 128) for w in widths)
+    offs = np.cumsum((0,) + pws)
+    w_tot = int(offs[-1])
+    k_tot = int(sum(caps))
+    npres = len(widths)
+    kp = _round_up(k_tot + npres, 128)   # packed K lanes + count lanes
+
+    # rank[l] = number of valid lanes at index <= l (inclusive cumsum):
+    # one block-diagonal upper-triangular 0/1 constant (exact in bf16),
+    # passed as a kernel input (Pallas kernels cannot capture arrays).
+    tri_np = np.zeros((w_tot, w_tot), np.float32)
+    for s in range(npres):
+        a, b = int(offs[s]), int(offs[s + 1])
+        tri_np[a:b, a:b] = np.tril(np.ones((b - a, b - a), np.float32)).T
+    tri_np = tri_np.astype(jnp.bfloat16)     # 0/1: exact in bf16
+
+    if block_rows is None:
+        # ~6 live [B, W] f32 arrays + the [W, W] bf16 tri inside ~14 MB
+        # scoped VMEM (the 2.6k box has wider lanes W=896: a fixed B=512
+        # overflowed by ~1 MB on the chip).
+        budget = 12 * 2 ** 20 - 2 * w_tot * w_tot
+        block_rows = max(64, min(512, (budget // (6 * w_tot * 4) // 64)
+                                 * 64))
+
+    def kernel(tri_ref, combo_ref, out_ref):
+        x = combo_ref[...]                                  # [B, W]
+        outs, cnts = [], []
+        for s in range(npres):
+            xs = jax.lax.slice_in_dim(x, int(offs[s]), int(offs[s + 1]),
+                                      axis=1)               # [B, pw]
+            vf = (xs >= 0.0).astype(jnp.float32)
+            tril = tri_ref[int(offs[s]):int(offs[s + 1]),
+                           int(offs[s]):int(offs[s + 1])]
+            rank = jax.lax.dot_general(
+                vf.astype(jnp.bfloat16), tril,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [B, pw]
+            # Push invalid lanes out of the rank domain so the extraction
+            # compare alone selects exactly one lane per (row, j); then
+            # col_j = rowsum(where(rank==j+1, key+1, 0)) - 1 yields the key
+            # where a lane exists and the -1 sentinel where none does.
+            rank = rank + (1.0 - vf) * 65536.0
+            xs1 = xs + 1.0
+            cols = [jnp.sum(jnp.where(rank == float(j + 1), xs1, 0.0),
+                            axis=1, keepdims=True) - 1.0
+                    for j in range(caps[s])]
+            outs.append(jnp.concatenate(cols, axis=1))       # [B, cap]
+            cnts.append(jnp.sum(vf, axis=1, keepdims=True))
+        res = jnp.concatenate(outs + cnts, axis=1)           # [B, K+npres]
+        out_ref[...] = jnp.pad(res, ((0, 0), (0, kp - k_tot - npres)))
+
+    def run(combo: Array) -> Tuple[Array, Array]:
+        n = combo.shape[0]
+        npad = _round_up(max(n, block_rows), block_rows)
+        if npad != n:
+            combo = jnp.pad(combo, ((0, npad - n), (0, 0)),
+                            constant_values=-1.0)
+        out = pl.pallas_call(
+            kernel,
+            grid=(npad // block_rows,),
+            in_specs=[pl.BlockSpec((w_tot, w_tot), lambda i: (0, 0)),
+                      pl.BlockSpec((block_rows, w_tot), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((block_rows, kp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((npad, kp), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(tri_np), combo)
+        packed = out[:n, :k_tot]
+        counts = out[:n, k_tot:k_tot + npres]
+        return packed, counts
+
+    return run
+
+
+def left_pack(combo: Array, widths: Sequence[int], caps: Sequence[int],
+              interpret: Optional[bool] = None) -> Tuple[Array, Array]:
+    """Left-pack valid candidate keys per species block (see
+    ``make_left_pack``). Not differentiable (selection is frozen per
+    refresh; indices only)."""
+    fn = make_left_pack(tuple(int(w) for w in widths),
+                        tuple(int(k) for k in caps), interpret)
+    return fn(jax.lax.stop_gradient(combo))

@@ -249,3 +249,43 @@ def test_window_triclinic_box_parity():
     np.testing.assert_allclose(e2, e1, rtol=1e-5)
     scale = np.abs(np.asarray(f1)).max()
     np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
+
+
+def test_compact_kernel_matches_sort(setup):
+    """The Pallas rank left-pack compaction selects the same neighbor SETS
+    and counts as the bitonic lane sorts (lane order differs: entry-major
+    vs slot-ascending), and the energies/forces built on top agree."""
+    from nnpops_tpu.neighbors.window import select_window
+    water, window, pallas, params, cl = setup
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    g = window.grouping
+    layout = window.blocked_layout
+    kw = dict(species=window.species_array, layout=layout,
+              radial_cutoff=window.basis.radial_cutoff,
+              angular_cutoff=window.basis.angular_cutoff,
+              grouping_order=np.asarray(g.order),
+              present_counts=tuple(g.counts[s] for s in layout.present),
+              need_shift_planes=True)
+    s_k = select_window(cl, pos, box, compact_impl='kernel', **kw)
+    s_s = select_window(cl, pos, box, compact_impl='sort', **kw)
+    np.testing.assert_array_equal(np.asarray(s_k.ang.max_rad),
+                                  np.asarray(s_s.ang.max_rad))
+    # Same neighbor SET per (row, species block), kernel rows left-packed.
+    offs = np.cumsum((0,) + layout.ang_caps)
+    nk = np.asarray(s_k.ang.nbr_rad)
+    ns = np.asarray(s_s.ang.nbr_rad)
+    mk = np.asarray(s_k.ang.rad_mask)
+    ms = np.asarray(s_s.ang.rad_mask)
+    np.testing.assert_array_equal(mk.sum(1), ms.sum(1))
+    for b in range(len(layout.ang_caps)):
+        blk = slice(offs[b], offs[b + 1])
+        np.testing.assert_array_equal(np.sort(nk[:, blk], axis=1),
+                                      np.sort(ns[:, blk], axis=1))
+    e1, f1 = window.energy_and_forces_from_selection(params, pos, box, cl,
+                                                     s_k)
+    e2, f2 = window.energy_and_forces_from_selection(params, pos, box, cl,
+                                                     s_s)
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+    scale = np.abs(np.asarray(f2)).max()
+    np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5 * scale)
