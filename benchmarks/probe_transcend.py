@@ -27,22 +27,22 @@ OPS = {
     'rsqrt': lambda x: jax.lax.rsqrt(x) + 1.0,     # keep in [1, 2]
     'div': lambda x: 2.0 / x,
     'exp': lambda x: jnp.exp(x - 1.0),
-    'log': lambda x: jnp.log(x) + 1.0,
     'cos': lambda x: jnp.cos(x) + 1.2,
     'sin': lambda x: jnp.sin(x) + 1.2,
-    'tanh': lambda x: jnp.tanh(x) + 0.5,
-    'pow_frac': lambda x: jnp.power(x, 0.3),
-    'where': lambda x: jnp.where(x > 1.0, x, x + 1e-7),
     'cumsum128': None,   # special below
 }
 
 
 def chain_ms(fn, k):
+    """k UNROLLED dependent ops inside one jit: XLA fuses the chain into a
+    single kernel, so the slope in k isolates VPU compute from the (fixed)
+    HBM roundtrip. A lax.scan variant measures only the carry's HBM
+    traffic (first version of this probe: every op "cost" ~0.08 ms = 32 MB
+    / BW, slopes pure noise)."""
     def whole(x):
-        def body(c, _):
-            return fn(c), None
-        c, _ = jax.lax.scan(body, x, None, length=k)
-        return jnp.sum(c).reshape(1)
+        for _ in range(k):
+            x = fn(x)
+        return jnp.sum(x).reshape(1)
     run = jax.jit(whole)
     float(run(x0)[0])
     best = float('inf')
@@ -56,9 +56,9 @@ def chain_ms(fn, k):
 for name, fn in OPS.items():
     if fn is None:
         continue
-    t1 = chain_ms(fn, 8)
-    t2 = chain_ms(fn, 40)
-    per = (t2 - t1) / 32
+    t1 = chain_ms(fn, 16)
+    t2 = chain_ms(fn, 80)
+    per = (t2 - t1) / 64
     print(f'{name}: {per:.4f} ms/pass over {N >> 20}M elems '
           f'({per * 1e6 / N:.4f} ns/elem)', flush=True)
 
@@ -68,10 +68,9 @@ xr = x0.reshape(-1, 128)
 
 def cs(k):
     def whole(x):
-        def body(c, _):
-            return jnp.cumsum(c, axis=1) * 0.5, None
-        c, _ = jax.lax.scan(body, x, None, length=k)
-        return jnp.sum(c).reshape(1)
+        for _ in range(k):
+            x = jnp.cumsum(x, axis=1) * 1e-6
+        return jnp.sum(x).reshape(1)
     run = jax.jit(whole)
     float(run(xr)[0])
     best = float('inf')
@@ -82,7 +81,7 @@ def cs(k):
     return best * 1e3
 
 
-t1, t2 = cs(8), cs(40)
-per = (t2 - t1) / 32
+t1, t2 = cs(4), cs(16)
+per = (t2 - t1) / 12
 print(f'cumsum(axis=-1,128 lanes): {per:.4f} ms/pass '
       f'({per * 1e6 / N:.4f} ns/elem)', flush=True)

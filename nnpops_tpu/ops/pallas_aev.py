@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ANIBasis
 from ..neighbors.blocked import BlockedLayout
 from .aev_blocked import triple_tables
+from .pallas_window import dfc_poly_t, fc_poly_t
 
 Array = jnp.ndarray
 
@@ -79,7 +80,8 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         rad_width: Optional[int] = None,
                         bwd_impl: str = 'v2',
                         dot_impl: str = 'mixed',
-                        pow_impl: str = 'split'):
+                        pow_impl: str = 'split',
+                        fc_impl: str = 'poly'):
     """Build the fused angular-AEV function for one (basis, layout).
 
     Returns ``fn(ang_deltas [3, N, Kat], ang_mask [N, Kat] bool) ->
@@ -213,8 +215,20 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             sin_t = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz,
                                          1e-12)) * inv12
         rm = 0.5 * (r1 + r2)
-        fc1 = jnp.where(r1 < ra, 0.5 * jnp.cos(math.pi / ra * r1) + 0.5, 0.0)
-        fc2 = jnp.where(r2 < ra, 0.5 * jnp.cos(math.pi / ra * r2) + 0.5, 0.0)
+        if fc_impl == 'poly':
+            # Cutoff function as a Horner chain in (r/ra)^2 (exact to f32;
+            # see pallas_window.FC_COEFFS) — replaces cos in the fwd and
+            # sin in the bwd with FMAs.
+            inv_ra2 = 1.0 / (ra * ra)
+            t1 = jnp.minimum(r1 * r1 * inv_ra2, 1.0)
+            t2 = jnp.minimum(r2 * r2 * inv_ra2, 1.0)
+            fc1 = jnp.where(r1 < ra, fc_poly_t(t1), 0.0)
+            fc2 = jnp.where(r2 < ra, fc_poly_t(t2), 0.0)
+        else:
+            fc1 = jnp.where(r1 < ra,
+                            0.5 * jnp.cos(math.pi / ra * r1) + 0.5, 0.0)
+            fc2 = jnp.where(r2 < ra,
+                            0.5 * jnp.cos(math.pi / ra * r2) + 0.5, 0.0)
         return ((x1, y1, z1), (x2, y2, z2), r1, r2, dot12, valid, inv12,
                 cos_t, sin_t, cross, rm, fc1, fc2)
 
@@ -378,8 +392,15 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
             dctm = vf * c_acc[i_ts] * zeta * pow_static(base, zeta - 1.0)
             dcos = dcos + dctm * math.cos(ts)
             dsin = dsin + dctm * math.sin(ts)
-        dfc1 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r1)
-        dfc2 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r2)
+        if fc_impl == 'poly':
+            inv_ra2 = 1.0 / (ra * ra)
+            dfc1 = (dfc_poly_t(jnp.minimum(r1 * r1 * inv_ra2, 1.0))
+                    * (2.0 * inv_ra2) * r1)
+            dfc2 = (dfc_poly_t(jnp.minimum(r2 * r2 * inv_ra2, 1.0))
+                    * (2.0 * inv_ra2) * r2)
+        else:
+            dfc1 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r1)
+            dfc2 = -0.5 * math.pi / ra * jnp.sin(math.pi / ra * r2)
         dr1 = 0.5 * drm + dvf * valid * dfc1 * fc2
         dr2 = 0.5 * drm + dvf * valid * fc1 * dfc2
         if torchani:
@@ -632,7 +653,8 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
                        rad_width: Optional[int] = None,
                        bwd_impl: str = 'v2',
                        dot_impl: str = 'mixed',
-                       pow_impl: str = 'split') -> Array:
+                       pow_impl: str = 'split',
+                       fc_impl: str = 'poly') -> Array:
     """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
     into the reference layout and scaled by 2^(1-zeta) (autodiff chains
     through the placement).
@@ -640,12 +662,12 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
     With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
     [N, rad_width, 3] (the angular lanes are static slices of it)."""
     key = (basis, layout, block_size, interpret, rad_width, bwd_impl,
-           dot_impl, pow_impl)
+           dot_impl, pow_impl, fc_impl)
     if key not in _ANGULAR_CACHE:
         _ANGULAR_CACHE[key] = make_angular_kernel(
             basis, layout, block_size=block_size, interpret=interpret,
             rad_width=rad_width, bwd_impl=bwd_impl, dot_impl=dot_impl,
-            pow_impl=pow_impl)
+            pow_impl=pow_impl, fc_impl=fc_impl)
     fn = _ANGULAR_CACHE[key]
     raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
     n = raw.shape[0]

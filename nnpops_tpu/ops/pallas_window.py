@@ -56,6 +56,36 @@ FAR = 1.0e6
 SELF_STENCIL_INDEX = 13
 
 
+# Degree-8 Chebyshev-node LSQ fit of g(t) = 0.5 cos(pi sqrt(t)) + 0.5 on
+# t in [0, 1] (cos of a sqrt is ENTIRE in t, so a low-degree polynomial is
+# exact to f64 roundoff: max |fc err| 4.7e-13, max |dfc/dt err| 7.6e-11 —
+# both far below f32 resolution). Lets the cutoff function and its
+# derivative run as Horner chains in d2 instead of sqrt+cos / sin.
+# Coefficients low-order-first.
+FC_COEFFS = (0.99999999999953115, -2.4674011001964282, 2.0293560611802657,
+             -0.66763136355346187, 0.11766520747089387,
+             -0.012903133084020298, 0.00096425294148109802,
+             -5.1784521003695567e-05, 1.8597632061664595e-06)
+
+
+def fc_poly_t(t):
+    """fc as a function of t = (r/rc)^2, UNMASKED (caller applies the
+    r < rc mask). t must be clamped to [0, 1] first."""
+    p = FC_COEFFS[-1]
+    for cf in FC_COEFFS[-2::-1]:
+        p = p * t + cf
+    return p
+
+
+def dfc_poly_t(t):
+    """d fc / dt at t = (r/rc)^2; chain rule: dfc/dr = dfc_poly_t * 2 r /
+    rc^2."""
+    p = FC_COEFFS[-1] * 8.0
+    for k in range(7, 0, -1):
+        p = p * t + FC_COEFFS[k] * k
+    return p
+
+
 def make_radial_ladder(rc: float, etas: Tuple[float, ...],
                        rs_list: Tuple[float, ...]):
     """Build the lazy Gaussian-grid generator shared by the radial kernels.
@@ -128,7 +158,8 @@ def make_window_radial_kernel(radial_cutoff: float,
                               cell_caps: Tuple[int, ...],
                               torchani: bool,
                               interpret: Optional[bool] = None,
-                              center_caps: Optional[Tuple[int, ...]] = None):
+                              center_caps: Optional[Tuple[int, ...]] = None,
+                              fc_impl: str = 'poly'):
     """Build the fused window-radial function for one configuration.
 
     Returns ``fn(candx, candy, candz, centers) -> [ncells, c, P*R]`` where
@@ -218,8 +249,14 @@ def make_window_radial_kernel(radial_cutoff: float,
                                   row + sp_shift[s], self_lane)
         valid = (d2 < rc * rc) & (lane != self_lane)[None]
         r = jnp.sqrt(jnp.maximum(d2, 1e-12))
-        fc = jnp.where(valid, 0.5 * jnp.cos(math.pi / rc * r) + 0.5, 0.0)
-        return dx, dy, dz, r, fc, valid
+        if fc_impl == 'poly':
+            t = jnp.minimum(d2 * (1.0 / (rc * rc)), 1.0)
+            fc = jnp.where(valid, fc_poly_t(t), 0.0)
+        else:
+            t = None
+            fc = jnp.where(valid, 0.5 * jnp.cos(math.pi / rc * r) + 0.5,
+                           0.0)
+        return dx, dy, dz, r, fc, valid, t
 
     # Mosaic requires the last two block dims to be (8, 128)-aligned OR
     # equal to the array dims; the [ncells, kk] lane arrays are therefore
@@ -241,7 +278,7 @@ def make_window_radial_kernel(radial_cutoff: float,
         cy = candy_ref[...]
         cz = candz_ref[...]
         ctr = centers_ref[...]                            # [G, c, 3]
-        _, _, _, r, fc, _ = pair_geometry(cx, cy, cz, ctr)
+        _, _, _, r, fc, _, _ = pair_geometry(cx, cy, cz, ctr)
         cols = [None] * out_w
         for q, e in iter_radial_exps(r):
             we = fc * e                                   # [G, c, kk]
@@ -258,9 +295,13 @@ def make_window_radial_kernel(radial_cutoff: float,
         ctr = centers_ref[...]
         gg = g_ref[...]                                   # [G, c, out_w]
         gb = gg.shape[0]
-        dx, dy, dz, r, fc, valid = pair_geometry(cx, cy, cz, ctr)
-        dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
-            math.pi / rc * r), 0.0)
+        dx, dy, dz, r, fc, valid, t = pair_geometry(cx, cy, cz, ctr)
+        if fc_impl == 'poly':
+            dfc = jnp.where(valid,
+                            dfc_poly_t(t) * ((2.0 / (rc * rc)) * r), 0.0)
+        else:
+            dfc = jnp.where(valid, -0.5 * math.pi / rc * jnp.sin(
+                math.pi / rc * r), 0.0)
         # alpha = dE/dr per pair, accumulated over each species' static
         # lane slice:
         #   A_s = sum_q g[s,q] e_q ; B_s = sum_q g[s,q] e_q eta_q u_q
@@ -381,15 +422,17 @@ def window_radial_aev(candx: Array, candy: Array, candz: Array,
                       cell_caps: Tuple[int, ...],
                       torchani: bool,
                       interpret: Optional[bool] = None,
-                      center_caps: Optional[Tuple[int, ...]] = None) -> Array:
+                      center_caps: Optional[Tuple[int, ...]] = None,
+                      fc_impl: str = 'poly') -> Array:
     """Cached-kernel entry: [ncells, c_ctr, P*R] radial AEV in (packed)
     slot space."""
     key = (radial_cutoff, tuple(float(x) for x in radial_eta),
            tuple(float(x) for x in radial_rs),
            tuple(int(x) for x in cell_caps), torchani, interpret,
-           tuple(int(x) for x in center_caps) if center_caps else None)
+           tuple(int(x) for x in center_caps) if center_caps else None,
+           fc_impl)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = make_window_radial_kernel(
             radial_cutoff, radial_eta, radial_rs, cell_caps, torchani,
-            interpret=interpret, center_caps=center_caps)
+            interpret=interpret, center_caps=center_caps, fc_impl=fc_impl)
     return _KERNEL_CACHE[key](candx, candy, candz, centers)

@@ -91,6 +91,57 @@ def test_pallas_angular_fast_pow_matches_split():
     np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_angular_fc_poly_matches_cos():
+    """fc_impl='poly' (degree-8 Horner chain in (r/ra)^2, the production
+    default: measured faster than cos/sin on the chip, NOTES_PERF round-3
+    session 5) stays within float32 noise of the transcendental form,
+    values and gradients."""
+    basis = small_basis()
+    payload, layout = make_payload(basis, seed=5)
+    kw = dict(basis=basis, layout=layout, block_size=16)
+    want = angular_aev_pallas(payload.ang_deltas, payload.ang_mask,
+                              fc_impl='cos', **kw)
+    got = angular_aev_pallas(payload.ang_deltas, payload.ang_mask,
+                             fc_impl='poly', **kw)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+    def loss(d, impl):
+        a = angular_aev_pallas(d, payload.ang_mask, fc_impl=impl, **kw)
+        return jnp.sum(a * a)
+
+    g1 = jax.grad(loss)(payload.ang_deltas, 'cos')
+    g2 = jax.grad(loss)(payload.ang_deltas, 'poly')
+    np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-5)
+
+
+def test_window_radial_fc_poly_matches_cos():
+    """Same for the window radial kernel: poly cutoff vs transcendental on
+    a tiny synthetic window, values and position gradients."""
+    from nnpops_tpu.ops.pallas_window import window_radial_aev
+    rng = np.random.RandomState(7)
+    cell_caps = (4, 4)
+    c = sum(cell_caps)
+    ncells, kk = 4, 27 * c
+    ctr = jnp.asarray(rng.rand(ncells, c, 3).astype(np.float32) * 3.0)
+    cand = rng.rand(3, ncells, kk).astype(np.float32) * 6.0 - 1.5
+    cx, cy, cz = (jnp.asarray(cand[i]) for i in range(3))
+
+    def run(cx, cy, cz, ctr, impl):
+        return window_radial_aev(cx, cy, cz, ctr, 4.2, (16.0,),
+                                 (0.9, 1.7, 2.5, 3.3), cell_caps, True,
+                                 fc_impl=impl)
+
+    want = run(cx, cy, cz, ctr, 'cos')
+    got = run(cx, cy, cz, ctr, 'poly')
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+    g = [jax.grad(lambda *a, i=i: jnp.sum(run(*a, i) ** 2),
+                  argnums=(0, 1, 2, 3))(cx, cy, cz, ctr)
+         for i in ('cos', 'poly')]
+    for a, b in zip(*g):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_angular_block_padding():
     """N not a multiple of the block size pads internally and strips back."""
     basis = small_basis()
