@@ -21,6 +21,15 @@ import sys
 import time
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/jaxcache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass   # older jax: cache is an optimization only
+
+
 def build_scan_bench(num_molecules: int, steps_per_call: int,
                      skin: float = 0.0, refresh_every: int = 1,
                      aev_impl: str = 'pallas', nn_dtype=None,
@@ -71,7 +80,92 @@ def build_scan_bench(num_molecules: int, steps_per_call: int,
         model.check_overflow(positions, box, cell_list)
 
     return (run, params, jnp.asarray(water.positions),
-            blocks * refresh_every, check_overflow)
+            blocks * refresh_every, check_overflow, model)
+
+
+def composition_model(model, num_atoms: int, refresh: int, measured_us: float):
+    """Analytic per-step work model of the window pipeline + achieved-vs-peak
+    utilization (VERDICT r3 item 7).
+
+    Work terms are derived from the ACTUAL planned layout (cell grid,
+    occupancy buckets, angular row tiers, ensemble dims), costed with the
+    per-slot op counts of NOTES_PERF's roofline section (window radial ~90
+    elem-ops fwd + ~120 bwd per packed candidate slot; angular ~130 ops per
+    triple slot; row gathers at the measured ~4.5 ns/row latency wall; the
+    fused ensemble at the measured f32-equivalent MXU rate). "Peak" is the
+    chip's MEASURED sustained rate on this op class (VPU ~2e12 elem-ops/s on
+    wide rows; MXU ~43e12 FLOP/s f32 — NOTES_PERF round-2/3), so utilization
+    ~1.0 means at the practical speed of light for that term.
+    """
+    import numpy as np
+    from nnpops_tpu.neighbors.window import _num_triples
+    lay = model.blocked_layout
+    VPU = 2.0e12          # elem-ops/s, measured sustained (wide rows)
+    MXU = 43.0e12         # FLOP/s f32-equivalent, measured on the ensemble
+    GROW = 4.5e-9         # s/row, measured gather/scatter latency wall
+
+    comp = {}
+    vpu_ops = 0.0
+    gather_rows = 0.0
+    # --- window radial: packed candidate slots x (90 fwd + 120 bwd) ops.
+    if lay is not None and lay.cell_caps and lay.cell_grid:
+        ncells = int(np.prod(lay.cell_grid))
+        c_full = -(-sum(lay.cell_caps) // 8) * 8
+        kk = 27 * sum(lay.cell_caps)
+        if lay.small_caps is not None and lay.num_big_cells is not None:
+            c_small = -(-sum(lay.small_caps) // 8) * 8
+            nb = lay.num_big_cells
+            rows = nb * c_full + (ncells - nb) * c_small
+        else:
+            rows = ncells * c_full
+        rad_slots = rows * kk
+        rad_ops = rad_slots * 210.0
+        vpu_ops += rad_ops
+        comp['radial_slots_M'] = round(rad_slots / 1e6, 1)
+        comp['radial_model_ms'] = round(rad_ops / VPU * 1e3, 2)
+    # --- angular tiers: triple slots x ~130 ops + payload gather rows.
+    if lay is not None and lay.ang_tier_rows is not None:
+        caps_all = (lay.ang_caps,) + tuple(lay.ang_tier_caps)
+        g = model.grouping
+        present_counts = [g.counts[s] for s in lay.present]
+        planned = [list(r) for r in lay.ang_tier_rows]
+        planned.append([pc - sum(r[i] for r in planned)
+                        for i, pc in enumerate(present_counts)])
+        tri_ops = 0.0
+        for caps_t, rows_t in zip(caps_all, planned):
+            tri_ops += sum(rows_t) * _num_triples(caps_t) * 130.0
+            gather_rows += sum(rows_t) * sum(caps_t) * 2.0   # fwd + mirror
+        vpu_ops += tri_ops
+        comp['angular_triple_ops_G'] = round(tri_ops / 130.0 / 1e9, 2)
+        comp['angular_model_ms'] = round(tri_ops / VPU * 1e3, 2)
+        comp['gather_rows_M'] = round(gather_rows / 1e6, 2)
+        comp['gather_model_ms'] = round(gather_rows * GROW * 1e3, 2)
+    # --- ensemble NN: fwd + input-grad ~ 3x fwd FLOPs, per-species dims
+    # weighted by the actual species population.
+    from nnpops_tpu.config import ANI2X_LAYER_DIMS
+    g = model.grouping
+    aev_len = model.basis.aev_length
+    nn_flops = 0.0
+    for s, cnt in enumerate(g.counts):
+        if cnt == 0 or s >= len(ANI2X_LAYER_DIMS):
+            continue
+        d = (aev_len,) + tuple(ANI2X_LAYER_DIMS[s]) + (1,)
+        nn_flops += cnt * sum(2 * a * b for a, b in zip(d, d[1:]))
+    nn_flops *= 8 * 3.0
+    comp['nn_model_ms'] = round(nn_flops / MXU * 1e3, 2)
+    model_ms = (vpu_ops / VPU + gather_rows * GROW) * 1e3 + nn_flops / MXU * 1e3
+    comp['model_total_ms'] = round(model_ms, 2)
+    comp['measured_ms'] = round(measured_us / 1e3, 2)
+    util = {
+        # fraction of the step the work model accounts for at measured-peak
+        # rates; the remainder is select (amortized /refresh), glue, and
+        # efficiency losses inside the kernels.
+        'model_over_measured': round(model_ms / (measured_us / 1e3), 3),
+        'vpu_eff_gops_per_s': round(vpu_ops / (measured_us * 1e-6) / 1e9, 1),
+        'vpu_utilization': round(vpu_ops / (measured_us * 1e-6) / VPU, 3),
+        'mxu_utilization': round(nn_flops / (measured_us * 1e-6) / MXU, 3),
+    }
+    return comp, util
 
 
 def main():
@@ -118,6 +212,7 @@ def main():
     args = parser.parse_args()
 
     import jax
+    _enable_compile_cache()
     target_us = 2000.0   # BASELINE.md: < 2 ms/step at 26k atoms
 
     # The headline metric is the BASELINE.md north-star workload: the
@@ -139,8 +234,8 @@ def main():
     succeeded = 0
     for num_mol, metric in candidates:
         try:
-            (run, params, positions, true_steps,
-             check_overflow) = build_scan_bench(num_mol, args.steps,
+            (run, params, positions, true_steps, check_overflow,
+             model_for_comp) = build_scan_bench(num_mol, args.steps,
                                                 skin=args.skin,
                                                 refresh_every=args.refresh,
                                                 aev_impl=args.impl,
@@ -156,10 +251,17 @@ def main():
             jax.block_until_ready(final)
             us = (time.perf_counter() - t0) / (args.calls * true_steps) * 1e6
             check_overflow(final)
-            print(json.dumps({'metric': metric, 'value': round(us, 1),
-                              'unit': 'us/step',
-                              'vs_baseline': round(target_us / us, 4),
-                              'config': config}))
+            line = {'metric': metric, 'value': round(us, 1),
+                    'unit': 'us/step', 'vs_baseline': round(target_us / us, 4),
+                    'config': config}
+            try:
+                comp, util = composition_model(model_for_comp, num_mol * 3,
+                                               args.refresh, us)
+                line['composition'] = comp
+                line['utilization'] = util
+            except Exception as e:
+                print(f'composition model failed: {e}', file=sys.stderr)
+            print(json.dumps(line))
             succeeded += 1
         except Exception as e:
             print(f'bench {metric} failed: {type(e).__name__}: {e}',

@@ -100,6 +100,15 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     per-step HBM gather only ever fetches radial lanes, and the in-kernel
     extraction is free.
     """
+    # A/B impl selectors are matched by string equality downstream; a typo
+    # must error here, not silently select the other branch.
+    _allowed = {'bwd_impl': ('v1', 'v2'), 'dot_impl': ('highest', 'split3',
+                                                       'mixed'),
+                'pow_impl': ('split', 'fast'), 'fc_impl': ('poly', 'cos')}
+    for name, val in (('bwd_impl', bwd_impl), ('dot_impl', dot_impl),
+                      ('pow_impl', pow_impl), ('fc_impl', fc_impl)):
+        if val not in _allowed[name]:
+            raise ValueError(f'{name}={val!r} not in {_allowed[name]}')
     if basis.angular_rs_grid is None:
         raise NotImplementedError(
             'the Pallas angular kernel requires a factored angular grid '
