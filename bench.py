@@ -101,7 +101,10 @@ def composition_model(model, num_atoms: int, refresh: int, measured_us: float):
     from nnpops_tpu.neighbors.window import _num_triples
     lay = model.blocked_layout
     VPU = 2.0e12          # elem-ops/s, measured sustained (wide rows)
-    MXU = 43.0e12         # FLOP/s f32-equivalent, measured on the ensemble
+    # Ensemble matmul rate: the fused bf16 kernel sustains ~197e12 (v5e
+    # nominal bf16 peak; measured 383 GFLOP in 1.9 ms = 200e12 at 26k);
+    # the f32 einsum path measured 43e12.
+    MXU = 197.0e12 if model.nn_dtype is not None else 43.0e12
     GROW = 4.5e-9         # s/row, measured gather/scatter latency wall
 
     comp = {}

@@ -221,7 +221,11 @@ class ANIModel:
 
     @property
     def nn_compute_dtype(self):
-        return jnp.bfloat16 if self.nn_dtype == 'bfloat16' else None
+        # Accept both the config string and a dtype object (several callers
+        # pass jnp.bfloat16 directly).
+        if self.nn_dtype == 'bfloat16' or self.nn_dtype is jnp.bfloat16:
+            return jnp.bfloat16
+        return None
 
     @property
     def grouping(self) -> SpeciesGrouping:

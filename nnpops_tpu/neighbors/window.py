@@ -257,40 +257,68 @@ def plan_angular_tiers(positions, box, species, present, ang_window: float,
         for s in range(npres):
             counts[atoms, s] = within[:, sp_idx[cand] == s].sum(1)
 
-    t_full = _num_triples(ang_caps)
-    pcts = (50, 60, 70, 80, 90)
+    def _padded_triples(caps_t):
+        # The kernel's [B, Tp] arrays lane-pad to 128 multiples in VMEM, so
+        # the real per-row cost steps at 128-triple boundaries (T=276 costs
+        # the same as T=384); the planner must minimize rows x PADDED size
+        # or it picks caps whose extra triples are free to drop but whose
+        # padding is not (measured 39% pad on a 276-triple tier at 26k).
+        return -(-max(_num_triples(caps_t), 1) // 128) * 128
+
+    t_full = _padded_triples(ang_caps)
+    pcts = (40, 50, 60, 70, 80, 90)
+
+    def _grow_to_pad(caps_t):
+        # Bump caps while the 128-padded triple count is unchanged: the
+        # extra lanes are free (they live in the pad) and let MORE rows
+        # fit this tier instead of a bigger one.
+        caps_l = list(caps_t)
+        padded = _padded_triples(tuple(caps_l))
+        improved = True
+        while improved:
+            improved = False
+            for s in range(npres):
+                if caps_l[s] < ang_caps[s]:
+                    trial = list(caps_l)
+                    trial[s] += 1
+                    if _padded_triples(tuple(trial)) == padded:
+                        caps_l = trial
+                        improved = True
+        return tuple(caps_l)
 
     def caps_at(pct):
-        return tuple(
+        return _grow_to_pad(tuple(
             min(int(np.ceil(np.percentile(counts[:, s], pct))) + 1,
-                ang_caps[s]) for s in range(npres))
+                ang_caps[s]) for s in range(npres)))
 
     def fits(caps_t):
         return (counts <= np.asarray(caps_t)).all(axis=1)
 
+    # Search nested percentile cap ladders of depth 1..3 (2..4 tiers
+    # total): rows run the smallest tier whose caps hold their counts, so
+    # the expected cost is sum over tiers of (fraction in tier) x (tier
+    # triple-table size). Each extra tier must beat the incumbent by 5%
+    # (tiers are not free: one more kernel launch + row segment).
+    from itertools import combinations
     best = (float(t_full), None)
-    for p1 in pcts:                                  # two tiers
-        c1 = caps_at(p1)
-        f1 = float(fits(c1).mean())
-        cost = (1.0 - f1) * t_full + f1 * _num_triples(c1)
-        if cost < best[0] * 0.95:
-            best = (cost, (c1,))
-    for p_mid in pcts:                               # three tiers
-        c_mid = caps_at(p_mid)
-        for p_sm in pcts:
-            if p_sm >= p_mid:
+    for depth in (1, 2, 3):
+        for ps in combinations(sorted(pcts), depth):
+            capsl = [caps_at(p) for p in sorted(ps, reverse=True)]
+            prev, ok = ang_caps, True
+            for ct in capsl:                     # strictly nested ladder
+                if ct == prev or any(a > b for a, b in zip(ct, prev)):
+                    ok = False
+                    break
+                prev = ct
+            if not ok:
                 continue
-            c_sm = caps_at(p_sm)
-            if (c_sm == c_mid
-                    or any(a > b for a, b in zip(c_sm, c_mid))):
-                continue
-            fm = float(fits(c_mid).mean())
-            fs = float(fits(c_sm).mean())
-            cost = ((1.0 - fm) * t_full
-                    + (fm - fs) * _num_triples(c_mid)
-                    + fs * _num_triples(c_sm))
+            fs_l = [float(fits(ct).mean()) for ct in capsl]
+            cost = (1.0 - fs_l[0]) * t_full
+            for i in range(depth):
+                frac = (fs_l[i] - fs_l[i + 1]) if i + 1 < depth else fs_l[i]
+                cost += frac * _padded_triples(capsl[i])
             if cost < best[0] * 0.95:
-                best = (cost, (c_mid, c_sm))
+                best = (cost, tuple(capsl))
     _, tiers = best
     if tiers is None:
         return None, None
@@ -359,7 +387,7 @@ def _tier_rows_static(present_counts: Tuple[int, ...],
     tier_rows.append(tuple(
         int(cnt) - sum(tr[i] for tr in tier_rows)
         for i, cnt in enumerate(present_counts)))
-    return tier_rows
+    return tuple(tier_rows)   # immutable: the result is lru_cache'd
 
 
 def _tier_static(present_counts: Tuple[int, ...],
@@ -385,13 +413,26 @@ def _tier_static(present_counts: Tuple[int, ...],
     return tier_tot, concat_pos
 
 
-def _mirror_packed(segments, cc: int):
+def _mirror_packed(segments, cc: int,
+                   grid3: Optional[Tuple[int, int, int]] = None,
+                   c_per_cell: Optional[int] = None):
     """Mirror indices built DIRECTLY in the packed tier-major flat space
-    ([tier-0 rows x K0 | tier-1 rows x K1 | ...]) — same two-sort pairing
-    as ``blocked._build_mirror``, but run on far fewer entries (tier-t
-    rows carry only their K_t lanes) and with no after-the-fact
-    translation. ``segments``: per tier (slot_rows [R_t], idx [R_t, K_t],
-    mask [R_t, K_t]).
+    ([tier-0 rows x K0 | tier-1 rows x K1 | ...]). ``segments``: per tier
+    (slot_rows [R_t], idx [R_t, K_t], mask [R_t, K_t]).
+
+    With ``grid3``/``c_per_cell`` (the slot space's cell grid and slots per
+    cell) the pairing runs as TWO single-key sorts (round 4): each directed
+    entry's key is re-encoded with the neighbor RELATIVE to the center's
+    stencil (slot * 27c + entry * c + slot_offset, < cc * 27c — fits i32
+    where the naive slot-pair key cc^2 does not), the canonical unordered
+    key q = min(forward, reverse) is computed ARITHMETICALLY (the reverse
+    stencil entry is 26 - e by the symmetric (-1,0,1)^3 enumeration,
+    ``_window_tables``), and one sort by q lands the two directions of
+    every pair ADJACENT — partner = neighbor element in the sorted order,
+    inverted back to entry order by a second key-value sort. The round-3
+    version needed two 2-key 3-array sorts plus a third inversion sort
+    (~3x the sort work) because the slot-PAIR key overflows 32 bits at
+    production slot counts. Without grid info the old path is used.
 
     Pairing correctness: each valid directed entry (i -> j) has its
     reverse (j -> i) present in the packed space — a tier-t row's valid
@@ -409,27 +450,73 @@ def _mirror_packed(segments, cc: int):
     valid = jnp.concatenate([m.reshape(-1) for _, _, m in segments])
     valid = valid & (s1 <= cc)
     flat = jnp.arange(tot, dtype=jnp.int32)
-    base = cc + 2
-    if base * base < 2 ** 32:
-        p1 = s1.astype(jnp.uint32) * np.uint32(base) + s2.astype(jnp.uint32)
-        p2 = s2.astype(jnp.uint32) * np.uint32(base) + s1.astype(jnp.uint32)
-        bigk = jnp.uint32(2 ** 32 - 1)
-        _, v1 = jax.lax.sort([jnp.where(valid, p1, bigk), flat], num_keys=1)
-        _, v2 = jax.lax.sort([jnp.where(valid, p2, bigk), flat], num_keys=1)
+    use_rel = (grid3 is not None and c_per_cell is not None
+               and cc * 27 * c_per_cell < 2 ** 31 - 1)
+    if use_rel:
+        nx, ny, nz = (int(x) for x in grid3)
+        c = int(c_per_cell)
+        kk = 27 * c
+        s1c = jnp.minimum(s1, cc - 1)      # clamp sentinels (masked anyway)
+        s2c = jnp.minimum(s2, cc - 1)
+        c1 = s1c // c
+        c2 = s2c // c
+        so1 = s1c - c1 * c
+        so2 = s2c - c2 * c
+
+        def _axis_off(a1, a2, na):
+            d = (a2 - a1 + 1) % na          # 0 -> -1, 1 -> 0, 2 -> +1
+            return jnp.where(d > 2, 1, d)   # na-1 aliases never occur (na>=3)
+
+        x1, x2 = c1 // (ny * nz), c2 // (ny * nz)
+        y1, y2 = (c1 // nz) % ny, (c2 // nz) % ny
+        z1, z2 = c1 % nz, c2 % nz
+        e = (_axis_off(x1, x2, nx) * 9 + _axis_off(y1, y2, ny) * 3
+             + _axis_off(z1, z2, nz))       # stencil entry of s2 in s1's win
+        p1 = s1c * kk + e * c + so2
+        p2 = s2c * kk + (26 - e) * c + so1
+        q = jnp.minimum(p1, p2)
+        big = jnp.int32(2 ** 31 - 1)
+        pad = tot % 2                       # adjacent-pair trick needs even
+        qv = jnp.where(valid, q, big)
+        fl = flat
+        if pad:
+            qv = jnp.concatenate([qv, jnp.full((1,), big, qv.dtype)])
+            fl = jnp.concatenate([fl, jnp.full((1,), tot, jnp.int32)])
+        _, fs = jax.lax.sort([qv, fl], num_keys=1)
+        partner = fs.reshape(-1, 2)[:, ::-1].reshape(-1)
+        # Invert: mir[fs[k]] = partner[k]; fs is a permutation, so a
+        # key-value sort by fs IS the scatter (dense passes vs per-row
+        # scatter latency).
+        _, mir = jax.lax.sort([fs, partner], num_keys=1)
+        mir = mir[:tot]
+        mir = jnp.where(valid, jnp.minimum(mir, tot), tot)
     else:
-        bigk = jnp.int32(base)
-        _, _, v1 = jax.lax.sort([jnp.where(valid, s1, bigk),
-                                 jnp.where(valid, s2, bigk), flat],
-                                num_keys=2)
-        _, _, v2 = jax.lax.sort([jnp.where(valid, s2, bigk),
-                                 jnp.where(valid, s1, bigk), flat],
-                                num_keys=2)
-    # mir[v1[k]] = v2[k]; v1 is a full permutation of [0, tot) (valid ranks
-    # first, then the invalid tail in arbitrary order), so a third key-value
-    # sort by v1 IS the scatter — a ~tot-element scatter costs gather-like
-    # per-row latency (~4.5 ns/row measured) while a sort pass is dense.
-    _, mir = jax.lax.sort([v1, v2], num_keys=1)
-    mir = jnp.where(valid, mir, tot)
+        base = cc + 2
+        if base * base < 2 ** 32:
+            p1 = (s1.astype(jnp.uint32) * np.uint32(base)
+                  + s2.astype(jnp.uint32))
+            p2 = (s2.astype(jnp.uint32) * np.uint32(base)
+                  + s1.astype(jnp.uint32))
+            bigk = jnp.uint32(2 ** 32 - 1)
+            _, v1 = jax.lax.sort([jnp.where(valid, p1, bigk), flat],
+                                 num_keys=1)
+            _, v2 = jax.lax.sort([jnp.where(valid, p2, bigk), flat],
+                                 num_keys=1)
+        else:
+            bigk = jnp.int32(base)
+            _, _, v1 = jax.lax.sort([jnp.where(valid, s1, bigk),
+                                     jnp.where(valid, s2, bigk), flat],
+                                    num_keys=2)
+            _, _, v2 = jax.lax.sort([jnp.where(valid, s2, bigk),
+                                     jnp.where(valid, s1, bigk), flat],
+                                    num_keys=2)
+        # mir[v1[k]] = v2[k]; v1 is a full permutation of [0, tot) (valid
+        # ranks first, then the invalid tail in arbitrary order), so a third
+        # key-value sort by v1 IS the scatter — a ~tot-element scatter costs
+        # gather-like per-row latency (~4.5 ns/row measured) while a sort
+        # pass is dense.
+        _, mir = jax.lax.sort([v1, v2], num_keys=1)
+        mir = jnp.where(valid, mir, tot)
     out, off = [], 0
     for (r, k), sz in zip(shapes, sizes):
         out.append(jax.lax.slice_in_dim(mir, off, off + sz,
@@ -441,7 +528,9 @@ def _mirror_packed(segments, cc: int):
 def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
                        inv_order: Array, grouping_order: np.ndarray,
                        present_counts: Tuple[int, ...],
-                       layout: BlockedLayout, cc: int) -> AngTier:
+                       layout: BlockedLayout, cc: int,
+                       grid3: Optional[Tuple[int, int, int]] = None,
+                       c_per_cell: Optional[int] = None) -> AngTier:
     """Traced per-refresh tier construction (see AngTier docstring).
 
     Works entirely with ROW permutations + static slices: rows are permuted
@@ -508,7 +597,7 @@ def _build_tier_packed(nbr: Array, mask: Array, counts: Array, slot32: Array,
                                    for t in range(1, ntiers)]
     mirs = _mirror_packed(
         [(srows_tiers[t], idx_tiers[t], msk_tiers[t])
-         for t in range(ntiers)], cc)
+         for t in range(ntiers)], cc, grid3=grid3, c_per_cell=c_per_cell)
     # Inverse row maps (per refresh): they turn every per-step adjoint of
     # the tier pipeline into a gather (atom -> its unique tier/concat row).
     n = row_atom.shape[0]
@@ -565,6 +654,13 @@ _tiered_gather.defvjp(_tiered_gather_fwd, _tiered_gather_bwd)
 def _make_tier_geometry(cc: int):
     """Joint tier geometry (neighbor gathers + center rows) with an
     all-gather adjoint.
+
+    Soft-failure caveat: under angular-grid slot overflow the forward's
+    last-writer-wins slot fill makes VALUES invalid, and this hand-written
+    adjoint routes each row's center cotangent to the row's own atom rather
+    than the last writer — so GRADIENTS diverge from the actual forward
+    compute too. Both are covered by the same contract: results from a step
+    whose ``check_overflow`` reports a capacity breach must be discarded.
 
     The naive composition (positions -> sorted gather -> slot scatter ->
     tier gathers / center gathers) pays three scatter-adds in its VJP at
@@ -743,11 +839,15 @@ def _compact_window_kernel(cc: int, cell_caps: Tuple[int, ...],
     lane sorts (4.8 -> ~1 ms of the 26k select). Output lanes are in
     window-lane (stencil-entry-major) order rather than the sort's
     slot-ascending order; all consumers are order-agnostic."""
-    if cc + 1 >= 2 ** 24:        # slot ids must stay exact in f32
+    lane_sizes = [27 * cs for cs in cell_caps]
+    w_tot = sum(_round_up_128(w) for w in lane_sizes)
+    # Fall back to the sort path when slot ids would lose f32 exactness OR
+    # when the kernel's [W, W] bf16 tri constant alone would blow the
+    # ~14 MB scoped-VMEM budget (wide lane layouts, w_tot >~ 2300).
+    if cc + 1 >= 2 ** 24 or 2 * w_tot * w_tot > 10 * 2 ** 20:
         return _compact_window(cc, cell_caps, a_caps, valid_ang,
                                cand_slot_atom)
     from ..ops.pallas_select import left_pack
-    lane_sizes = [27 * cs for cs in cell_caps]
     lane_offs = np.cumsum((0,) + tuple(lane_sizes))[:-1]
     krt = int(sum(a_caps))
     parts = []
@@ -776,6 +876,77 @@ def _compact_window_kernel(cc: int, cell_caps: Tuple[int, ...],
 
 def _round_up_128(x: int) -> int:
     return -(-x // 128) * 128
+
+
+def _compact_window_mask(cc: int, cell_caps: Tuple[int, ...],
+                         a_caps: Tuple[int, ...], cand_planes: Array,
+                         pos_slots: Array, slot_of_sorted: Array,
+                         cell_sorted: Array, stencil_np: np.ndarray,
+                         w2: float):
+    """Mask-driven compaction (round 4): the d2/validity test runs in SLOT
+    space (``ops.pallas_select.make_window_mask`` — one kernel over cells
+    reading the coarse [3, ncells, kk] window, no [N, 3, kk] per-atom
+    candidate gather), atoms fetch their slot's bf16 mask row, and the rank
+    left-pack packs STATIC LANE indices (``make_left_pack_lanes`` — no slot
+    key tensor either). Slot ids are reconstructed arithmetically from the
+    packed block-local lanes: lane l of species block s = stencil entry
+    l // cs, slot offset l % cs, so the only remaining gathers are two
+    [N]-row fetches (mask rows, stencil rows). Replaced traffic at 26k:
+    ~700 MB of materialized candidate/d2/key intermediates -> ~130 MB
+    (measured 5.1 + 0.9 ms -> target ~1.5 ms of the select).
+
+    Semantics match ``_compact_window_kernel`` exactly: same validity set
+    (d2 < w2, static self-lane exclusion), same entry-major packed lane
+    order, same per-species true counts.
+    """
+    from ..ops.pallas_select import make_left_pack_lanes, make_window_mask
+    c = sum(cell_caps)
+    kk = 27 * c
+    ncells = cand_planes.shape[1]
+    n = slot_of_sorted.shape[0]
+    mask_fn = make_window_mask(float(w2), tuple(cell_caps))
+    centers = pos_slots.reshape(ncells, c, 3)
+    m_slots = mask_fn(cand_planes[0], cand_planes[1], cand_planes[2],
+                      centers)
+    m_flat = m_slots.reshape(ncells * c, kk)
+    # Overflow atoms (slot rank past capacity, sentinel cc+1) read a
+    # clamped garbage row — results already invalid per the soft-failure
+    # contract (max_cell_sp_ang reports the breach).
+    m_atom = m_flat[jnp.minimum(slot_of_sorted, ncells * c - 1)]  # [N, kk]
+    lane_sizes = [27 * cs for cs in cell_caps]
+    lane_offs = np.cumsum((0,) + tuple(lane_sizes))[:-1]
+    parts = []
+    for lo, w in zip(lane_offs, lane_sizes):
+        p = jax.lax.slice_in_dim(m_atom, int(lo), int(lo) + w, axis=1)
+        pw = _round_up_128(w)
+        if pw != w:
+            p = jnp.pad(p, ((0, 0), (0, pw - w)))
+        parts.append(p)
+    pack_fn = make_left_pack_lanes(tuple(lane_sizes), tuple(a_caps))
+    lanes, counts_f = pack_fn(jnp.concatenate(parts, axis=1))
+    offs = np.cumsum((0,) + tuple(cell_caps))[:-1]
+    stencil_rows = jnp.asarray(stencil_np, jnp.int32)[cell_sorted]  # [N, 27]
+    krt = int(sum(a_caps))
+    nbrs, masks, airs = [], [], []
+    ro = 0
+    for s, (cs, cap) in enumerate(zip(cell_caps, a_caps)):
+        ln = jax.lax.slice_in_dim(lanes, ro, ro + cap, axis=1)
+        m = ln >= 0.0
+        li = jnp.where(m, ln, 0.0).astype(jnp.int32)
+        entry = li // cs                       # block-local stencil entry
+        so = li - entry * cs                   # within-cell slot offset
+        base = jnp.zeros((n, cap), jnp.int32)
+        for e in range(27):                    # one-hot select: no [N, cap]
+            base = base + jnp.where(entry == e,        # table gather
+                                    stencil_rows[:, e:e + 1], 0)
+        slot = base * c + (int(offs[s]) + so)
+        nbrs.append(jnp.where(m, slot, cc))
+        masks.append(m)
+        airs.append(jnp.where(
+            m, jnp.arange(ro, ro + cap, dtype=jnp.int32)[None], krt))
+        ro += cap
+    return (jnp.concatenate(nbrs, axis=1), jnp.concatenate(masks, axis=1),
+            counts_f.astype(jnp.int32), jnp.concatenate(airs, axis=1))
 
 
 def _compact_window(cc: int, cell_caps: Tuple[int, ...],
@@ -902,9 +1073,13 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     grouping) enable angular row tiering when the layout plans it.
     ``need_shift_planes``: build the radial-grid 27-entry shift planes
     (only the directed 'window' radial kernel consumes them).
-    ``compact_impl``: 'kernel' (default) = Pallas rank left-pack on the
-    MXU; 'sort' = per-species bitonic lane sorts (the reference-ordering
-    path, slot-ascending lanes).
+    ``compact_impl``: 'kernel' (default) = per-atom Pallas rank left-pack
+    on slot keys; 'mask' = slot-space validity-mask kernel + lane-index
+    rank left-pack (no per-atom candidate gather; measured a WASH vs
+    'kernel' at 26k — 2.56 vs 2.39 ms — because XLA already fuses the
+    candidate gather into the combo build, NOTES_PERF r4); 'sort' =
+    per-species bitonic lane sorts (the reference-ordering path,
+    slot-ascending lanes).
     """
     _check_window_config(cell_list, layout)
     positions = jax.lax.stop_gradient(positions)
@@ -993,25 +1168,36 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
         sub = planes[:, :, a_offs[i]:a_offs[i] + cs]
         wins.append(_make_stencil_window(a_grid, cs)(sub))
     cand_cells = jnp.concatenate(wins, axis=2) + shift_planes_a
-    cand_pos = cand_cells.transpose(1, 0, 2)[cell_sorted]   # [N, 3, kk_a]
-    dx = cand_pos[:, 0, :] - pos_sorted[:, 0:1]
-    dy = cand_pos[:, 1, :] - pos_sorted[:, 1:2]
-    dz = cand_pos[:, 2, :] - pos_sorted[:, 2:3]
-    d2 = dx * dx + dy * dy + dz * dz
-
-    entry_np, slotoff_np = _lane_tables(a_ccaps)
-    cand_slot = (jnp.asarray(stencil_a_np)[:, jnp.asarray(entry_np)] * c_a
-                 + jnp.asarray(slotoff_np))                 # [ncells_a, kk_a]
-    cand_slot_atom = cand_slot[cell_sorted]
-    not_self = cand_slot_atom != slot_of_sorted[:, None]
     skin = cell_list.cutoff - radial_cutoff
     ang_window = angular_cutoff + max(skin, 0.0)
-    valid_ang = (d2 < ang_window * ang_window) & not_self
 
-    compact = (_compact_window_kernel if compact_impl == 'kernel'
-               else _compact_window)
-    nbr, mask, counts, air = compact(cc_a, a_ccaps, layout.ang_caps,
-                                     valid_ang, cand_slot_atom)
+    # Same VMEM guard as _compact_window_kernel: the left-pack kernels'
+    # [W, W] bf16 tri constant must fit scoped VMEM.
+    w_tot = sum(_round_up_128(27 * cs) for cs in a_ccaps)
+    use_mask = (compact_impl == 'mask' and 2 * w_tot * w_tot <= 10 * 2 ** 20)
+    if use_mask:
+        nbr, mask, counts, air = _compact_window_mask(
+            cc_a, a_ccaps, layout.ang_caps, cand_cells, pos_slots,
+            slot_of_sorted, cell_sorted, stencil_a_np,
+            ang_window * ang_window)
+    else:
+        cand_pos = cand_cells.transpose(1, 0, 2)[cell_sorted]  # [N, 3, kk_a]
+        dx = cand_pos[:, 0, :] - pos_sorted[:, 0:1]
+        dy = cand_pos[:, 1, :] - pos_sorted[:, 1:2]
+        dz = cand_pos[:, 2, :] - pos_sorted[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+
+        entry_np, slotoff_np = _lane_tables(a_ccaps)
+        cand_slot = (jnp.asarray(stencil_a_np)[:, jnp.asarray(entry_np)]
+                     * c_a + jnp.asarray(slotoff_np))       # [ncells_a, kk_a]
+        cand_slot_atom = cand_slot[cell_sorted]
+        not_self = cand_slot_atom != slot_of_sorted[:, None]
+        valid_ang = (d2 < ang_window * ang_window) & not_self
+
+        compact = (_compact_window_kernel if compact_impl == 'kernel'
+                   else _compact_window)
+        nbr, mask, counts, air = compact(cc_a, a_ccaps, layout.ang_caps,
+                                         valid_ang, cand_slot_atom)
     max_ang = jnp.max(counts, axis=0)            # [npres]
     slot32 = slot_of_sorted
     slot_to_atom = jnp.full((cc_a + 1,), n, jnp.int32)
@@ -1036,7 +1222,8 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
         tier = _build_tier_packed(nbr, mask, counts, slot32, inv_order,
                                   grouping_order,
                                   tuple(int(x) for x in present_counts),
-                                  layout, cc_a)
+                                  layout, cc_a, grid3=a_grid,
+                                  c_per_cell=c_a)
     clusters = None
     if cluster_plan is not None:
         from .clusters import select_clusters

@@ -289,3 +289,90 @@ def test_compact_kernel_matches_sort(setup):
     np.testing.assert_allclose(e1, e2, rtol=1e-6)
     scale = np.abs(np.asarray(f2)).max()
     np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5 * scale)
+
+def test_compact_mask_matches_sort(setup):
+    """The slot-space validity-mask compaction (one kernel over cells, no
+    per-atom candidate gather) selects the same neighbor SETS and counts
+    as the bitonic lane sorts, and energies/forces agree. Kept as an A/B
+    variant: measured a perf WASH vs 'kernel' at 26k (NOTES_PERF r4)."""
+    from nnpops_tpu.neighbors.window import select_window
+    water, window, pallas, params, cl = setup
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    g = window.grouping
+    layout = window.blocked_layout
+    kw = dict(species=window.species_array, layout=layout,
+              radial_cutoff=window.basis.radial_cutoff,
+              angular_cutoff=window.basis.angular_cutoff,
+              grouping_order=np.asarray(g.order),
+              present_counts=tuple(g.counts[s] for s in layout.present),
+              need_shift_planes=True)
+    s_m = select_window(cl, pos, box, compact_impl='mask', **kw)
+    s_s = select_window(cl, pos, box, compact_impl='sort', **kw)
+    np.testing.assert_array_equal(np.asarray(s_m.ang.max_rad),
+                                  np.asarray(s_s.ang.max_rad))
+    offs = np.cumsum((0,) + layout.ang_caps)
+    nm = np.asarray(s_m.ang.nbr_rad)
+    ns = np.asarray(s_s.ang.nbr_rad)
+    mm = np.asarray(s_m.ang.rad_mask)
+    ms = np.asarray(s_s.ang.rad_mask)
+    np.testing.assert_array_equal(mm.sum(1), ms.sum(1))
+    # Masked lanes must carry the sentinel so sorted comparisons align.
+    for b in range(len(layout.ang_caps)):
+        blk = slice(offs[b], offs[b + 1])
+        np.testing.assert_array_equal(np.sort(nm[:, blk], axis=1),
+                                      np.sort(ns[:, blk], axis=1))
+    e1, f1 = window.energy_and_forces_from_selection(params, pos, box, cl,
+                                                     s_m)
+    e2, f2 = window.energy_and_forces_from_selection(params, pos, box, cl,
+                                                     s_s)
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+    scale = np.abs(np.asarray(f2)).max()
+    np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_mirror_packed_two_sort_matches_legacy(setup):
+    """The relative-lane-encoded 2-sort mirror is bit-identical to the
+    legacy slot-pair-key pairing (the mirror is uniquely determined: every
+    directed entry has exactly one reverse)."""
+    import nnpops_tpu.neighbors.window as W
+    water, window, pallas, params, cl = setup
+    box = jnp.asarray(water.box)
+    pos = jnp.asarray(water.positions)
+    g = window.grouping
+    layout = window.blocked_layout
+    calls = []
+    orig = W._mirror_packed
+
+    def spy(segments, cc, grid3=None, c_per_cell=None):
+        assert grid3 is not None and c_per_cell is not None
+        new = orig(segments, cc, grid3=grid3, c_per_cell=c_per_cell)
+        old = orig(segments, cc, grid3=None, c_per_cell=None)
+        for a, b in zip(new, old):
+            calls.append(bool((np.asarray(a) == np.asarray(b)).all()))
+        return new
+
+    W._mirror_packed = spy
+    try:
+        W.select_window(cl, pos, box, window.species_array, layout,
+                        window.basis.radial_cutoff,
+                        window.basis.angular_cutoff,
+                        grouping_order=np.asarray(g.order),
+                        present_counts=tuple(g.counts[s]
+                                             for s in layout.present),
+                        need_shift_planes=True)
+    finally:
+        W._mirror_packed = orig
+    assert calls and all(calls)
+
+
+def test_angular_kernel_rejects_unknown_impl():
+    from nnpops_tpu.neighbors.blocked import BlockedLayout
+    from nnpops_tpu.ops.pallas_aev import make_angular_kernel
+    basis = ANIBasis.ani2x()
+    lay = BlockedLayout(num_species=7, present=(0, 3), rad_caps=(8, 4),
+                        ang_caps=(8, 4))
+    with pytest.raises(ValueError, match='fc_impl'):
+        make_angular_kernel(basis, lay, fc_impl='ploy')
+    with pytest.raises(ValueError, match='bwd_impl'):
+        make_angular_kernel(basis, lay, bwd_impl='v3')
