@@ -244,7 +244,12 @@ def main():
     if args.which in ('aev', 'all'):
         results.append(bench_aev(args.molecules, args.iters))
     if args.which in ('cfconv', 'all'):
-        results.append(bench_cfconv(args.atoms, args.iters))
+        # The reference workload is O(N^2)-built (BenchmarkCudaCFConv.cu):
+        # at 26k atoms the [N^2] pair tensors alone exceed HBM, so the
+        # like-for-like harness only runs at gap-junction scale; the
+        # periodic O(N) cell-list path carries the production-scale number.
+        if args.atoms <= 8192:
+            results.append(bench_cfconv(args.atoms, args.iters))
         results.append(bench_cfconv_periodic(max(args.atoms, 2601),
                                              args.iters))
     if args.which in ('batched_nn', 'all'):

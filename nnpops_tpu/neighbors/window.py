@@ -53,6 +53,14 @@ from .cell_list import CellList, _perpendicular_widths
 
 Array = jnp.ndarray
 
+# How _make_tier_geometry's adjoint applies the packed-space mirror
+# permutation to lane cotangents: 'gather' (per-row HBM gather) or 'sort'
+# (one single-key 4-array lax.sort; dense passes instead of the per-row
+# latency wall). Module-level so an A/B probe can flip it before tracing.
+# 'sort' measured 22.57 -> 20.87 ms/step on the 26k frozen step
+# (probe_mirror, NOTES_PERF round-4) with bit-parity forces.
+MIRROR_IMPL = 'sort'
+
 
 class AngTier(NamedTuple):
     """Frozen angular row-tier bundle (see select_window): rows sorted by
@@ -651,9 +659,22 @@ _tiered_gather.defvjp(_tiered_gather_fwd, _tiered_gather_bwd)
 
 
 @functools.lru_cache(maxsize=32)
-def _make_tier_geometry(cc: int):
+def _make_tier_geometry(cc: int, mirror_impl: str = 'gather'):
     """Joint tier geometry (neighbor gathers + center rows) with an
     all-gather adjoint.
+
+    ``mirror_impl``: how the adjoint applies the packed-space mirror
+    permutation to the lane cotangents.
+
+    * 'gather' — per-row HBM gather ``flat[mir]`` (narrow 3-float rows at
+      the measured ~4.5 ns/row latency wall).
+    * 'sort' — ONE single-key 4-array ``lax.sort``: the mirror restricted
+      to valid entries is an involution (partners swap), so closing it to
+      a full permutation (invalid entries -> self) makes sort-by-mir
+      exactly the permutation apply — sorted position q receives
+      ``flat[mir[q]]``. Sort passes are dense (bandwidth-bound), not
+      per-row latency-bound. Masked lanes receive their own cotangent and
+      are zeroed by the existing mask select.
 
     Soft-failure caveat: under angular-grid slot overflow the forward's
     last-writer-wins slot fill makes VALUES invalid, and this hand-written
@@ -692,15 +713,37 @@ def _make_tier_geometry(cc: int):
     def _bwd(res, g):
         shapes, mask, mir, crow = res
         g_outs, g_ctrs = g
-        flat = jnp.concatenate(
-            [gt.transpose(1, 2, 0).reshape(r * k, 3)
-             for gt, (r, k) in zip(g_outs, shapes)]
-            + [jnp.zeros((1, 3), g_outs[0].dtype)], axis=0)
-        rows = []
-        for (r, k), ms, mr, gc in zip(shapes, mask, mir, g_ctrs):
-            gm = flat[mr.reshape(-1)].reshape(r, k, 3).transpose(2, 0, 1)
-            pa = jnp.sum(jnp.where(ms[None], gm, 0.0), axis=2)   # [3, R_t]
-            rows.append(pa.T + gc)
+        if mirror_impl == 'sort':
+            sizes = [r * k for r, k in shapes]
+            tot = sum(sizes)
+            key = jnp.concatenate([mr.reshape(-1) for mr in mir])
+            msk = jnp.concatenate([ms.reshape(-1) for ms in mask])
+            idx = jnp.arange(tot, dtype=jnp.int32)
+            # Close the mirror to a full involution: invalid entries map to
+            # themselves (their cotangent is masked out below anyway).
+            key = jnp.where(msk & (key < tot), key, idx)
+            fx = jnp.concatenate([gt[0].reshape(-1) for gt in g_outs])
+            fy = jnp.concatenate([gt[1].reshape(-1) for gt in g_outs])
+            fz = jnp.concatenate([gt[2].reshape(-1) for gt in g_outs])
+            _, gx, gy, gz = jax.lax.sort([key, fx, fy, fz], num_keys=1)
+            rows, off = [], 0
+            for (r, k), ms, gc, sz in zip(shapes, mask, g_ctrs, sizes):
+                pa = [jnp.sum(jnp.where(
+                    ms, jax.lax.slice_in_dim(a, off, off + sz,
+                                             axis=0).reshape(r, k), 0.0),
+                    axis=1) for a in (gx, gy, gz)]
+                rows.append(jnp.stack(pa, axis=1) + gc)
+                off += sz
+        else:
+            flat = jnp.concatenate(
+                [gt.transpose(1, 2, 0).reshape(r * k, 3)
+                 for gt, (r, k) in zip(g_outs, shapes)]
+                + [jnp.zeros((1, 3), g_outs[0].dtype)], axis=0)
+            rows = []
+            for (r, k), ms, mr, gc in zip(shapes, mask, mir, g_ctrs):
+                gm = flat[mr.reshape(-1)].reshape(r, k, 3).transpose(2, 0, 1)
+                pa = jnp.sum(jnp.where(ms[None], gm, 0.0), axis=2)  # [3, R_t]
+                rows.append(pa.T + gc)
         rows_all = jnp.concatenate(rows, axis=0)
         dp = rows_all[crow]                                  # [N, 3] gather
         return (dp,) + (None,) * 7
@@ -1297,7 +1340,7 @@ def _tiered_angular(positions: Array, box: Array,
     t = wsel.tier
     caps_all = (layout.ang_caps,) + tuple(layout.ang_tier_caps)
     lays = tier_layouts(layout)
-    outs, ctrs = _make_tier_geometry(cc)(
+    outs, ctrs = _make_tier_geometry(cc, mirror_impl=MIRROR_IMPL)(
         positions, sel.order, sel.slot_of_sorted, t.idx, t.mask,
         t.slot_rows, t.mir, t.crow_of_atom)
     angs = []

@@ -131,8 +131,13 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
                 [x, jnp.full((pad, k), fill, x.dtype)], axis=0)
         return x.reshape(nb, chunk_size, k)
 
+    # Remat the chunk body: without it, autodiff saves every chunk's
+    # [chunk, K, width] filter tensor as a scan residual — at 26k atoms /
+    # 10 A cutoff that is 13 x ~570 MB plus XLA's transpose clones (measured
+    # 234 GB requested, OOM). Recomputing the filters in the backward keeps
+    # the residuals at the [chunk, K] geometry arrays.
     out = jax.lax.map(
-        lambda args: rows(*args),
+        jax.checkpoint(lambda args: rows(*args)),
         (blocks(dist, 0.0), blocks(mask, False), blocks(idx, n)))
     return out.reshape(nb * chunk_size, -1)[:n]
 
