@@ -61,6 +61,13 @@ Array = jnp.ndarray
 # (probe_mirror, NOTES_PERF round-4) with bit-parity forces.
 MIRROR_IMPL = 'sort'
 
+# How _make_stencil_window materializes the 27-cell window: 'roll' (27
+# periodic jnp.rolls — dense slice-concats in both directions, roll's
+# transpose being the opposite roll) or 'gather' (the original [ncells, 27]
+# row gather with a gather-based custom adjoint). Module-level so an A/B
+# probe can flip it before tracing.
+STENCIL_IMPL = 'roll'
+
 
 class AngTier(NamedTuple):
     """Frozen angular row-tier bundle (see select_window): rows sorted by
@@ -817,11 +824,49 @@ def _row_extract_bwd(res, g):
 _row_extract.defvjp(_row_extract_fwd, _row_extract_bwd)
 
 
+def _make_stencil_window(ncells3: Tuple[int, int, int], c: int,
+                         impl: Optional[str] = None):
+    """Resolve the module-level STENCIL_IMPL default at call time (so A/B
+    probes flipping it are not defeated by the lru_cache) and delegate."""
+    return _make_stencil_window_impl(ncells3, c,
+                                     STENCIL_IMPL if impl is None else impl)
+
+
 @functools.lru_cache(maxsize=32)
-def _make_stencil_window(ncells3: Tuple[int, int, int], c: int):
-    """planes [3, ncells, c] -> window [3, ncells, 27*c] with a
-    gather-based custom adjoint (XLA's scatter-add transpose of the stencil
-    gather is much slower on TPU)."""
+def _make_stencil_window_impl(ncells3: Tuple[int, int, int], c: int,
+                              impl: str):
+    """planes [3, ncells, c] -> window [3, ncells, 27*c].
+
+    ``impl='roll'`` (default, via module-level STENCIL_IMPL): the stencil
+    IS a periodic 3D shift —
+    stencil[i, e] = wrap(coord(i) + off_e) — so window entry e is
+    ``jnp.roll(planes, -off_e)`` on the 3D cell grid: pure dense
+    slice-concats (bandwidth) in BOTH directions, since a roll's transpose
+    is the opposite roll (no gather, no scatter, no custom VJP). Valid
+    whenever every grid dim >= 3 (window mode requires this,
+    ``_check_window_config``) so the 27 offsets hit distinct cells.
+
+    ``impl='gather'``: the original [ncells, 27] row-gather with a
+    gather-based custom adjoint (XLA's scatter-add transpose of the
+    stencil gather is much slower on TPU). Kept for A/B and as the
+    fallback if a caller ever passes a <3-wide grid.
+    """
+    nx, ny, nz = (int(x) for x in ncells3)
+    if impl not in ('roll', 'gather'):
+        raise ValueError(f'unknown stencil impl {impl!r}')
+    if impl == 'roll' and min(nx, ny, nz) >= 3:
+        offs = np.array(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                    indexing='ij')).reshape(3, 27).T
+
+        def stencil_window(planes):
+            p5 = planes.reshape(planes.shape[0], nx, ny, nz, c)
+            parts = [jnp.roll(p5, (-int(ox), -int(oy), -int(oz)),
+                              axis=(1, 2, 3)) for ox, oy, oz in offs]
+            win = jnp.stack(parts, axis=4)    # [3, nx, ny, nz, 27, c]
+            return win.reshape(planes.shape[0], nx * ny * nz, 27 * c)
+
+        return stencil_window
+
     _, stencil_np, rev_flat_np = _window_tables(ncells3)
     ncells = stencil_np.shape[0]
     kk = 27 * c

@@ -78,6 +78,16 @@ def make_left_pack(widths: Tuple[int, ...], caps: Tuple[int, ...],
         # scoped VMEM (the 2.6k box has wider lanes W=896: a fixed B=512
         # overflowed by ~1 MB on the chip).
         budget = 12 * 2 ** 20 - 2 * w_tot * w_tot
+        if budget < 64 * 6 * w_tot * 4:
+            # The [W, W] bf16 tri constant alone (nearly) fills scoped
+            # VMEM: no block_rows choice can compile. Callers guard this
+            # (window._compact_window_kernel falls back to the sort path
+            # at 2*W*W > 10 MiB); fail loudly for direct misuse instead
+            # of a Mosaic compile error.
+            raise ValueError(
+                f'left-pack lane width {w_tot} needs a '
+                f'{2 * w_tot * w_tot / 2**20:.1f} MiB tri constant — too '
+                'wide for scoped VMEM; use the sort-based compaction path')
         block_rows = max(64, min(512, (budget // (6 * w_tot * 4) // 64)
                                  * 64))
 
@@ -268,6 +278,11 @@ def make_left_pack_lanes(widths: Tuple[int, ...], caps: Tuple[int, ...],
 
     if block_rows is None:
         budget = 12 * 2 ** 20 - 2 * w_tot * w_tot
+        if budget < 64 * 6 * w_tot * 4:
+            raise ValueError(
+                f'left-pack lane width {w_tot} needs a '
+                f'{2 * w_tot * w_tot / 2**20:.1f} MiB tri constant — too '
+                'wide for scoped VMEM; use the sort-based compaction path')
         block_rows = max(64, min(512, (budget // (6 * w_tot * 4) // 64)
                                  * 64))
 
