@@ -81,7 +81,8 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
                         bwd_impl: str = 'v2',
                         dot_impl: str = 'mixed',
                         pow_impl: str = 'split',
-                        fc_impl: str = 'poly'):
+                        fc_impl: str = 'poly',
+                        red_impl: str = 'mask'):
     """Build the fused angular-AEV function for one (basis, layout).
 
     Returns ``fn(ang_deltas [3, N, Kat], ang_mask [N, Kat] bool) ->
@@ -104,9 +105,11 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
     # must error here, not silently select the other branch.
     _allowed = {'bwd_impl': ('v1', 'v2'), 'dot_impl': ('highest', 'split3',
                                                        'mixed'),
-                'pow_impl': ('split', 'fast'), 'fc_impl': ('poly', 'cos')}
+                'pow_impl': ('split', 'fast'), 'fc_impl': ('poly', 'cos'),
+                'red_impl': ('slice', 'mask')}
     for name, val in (('bwd_impl', bwd_impl), ('dot_impl', dot_impl),
-                      ('pow_impl', pow_impl), ('fc_impl', fc_impl)):
+                      ('pow_impl', pow_impl), ('fc_impl', fc_impl),
+                      ('red_impl', red_impl)):
         if val not in _allowed[name]:
             raise ValueError(f'{name}={val!r} not in {_allowed[name]}')
     if basis.angular_rs_grid is None:
@@ -368,13 +371,36 @@ def make_angular_kernel(basis: ANIBasis, layout: BlockedLayout,
         vf = valid * fc1 * fc2
         cps = cos_pows(cos_t, sin_t)
         es = rs_exps(rm)
-        for i_rs in range(n_rs):
-            e = vf * es[i_rs]
-            for i_ts in range(n_ts):
-                w = e * cps[i_ts]
-                for i_seg, (t0, t1) in enumerate(segs):
-                    col = i_seg * a_len + i_rs * n_ts + i_ts
-                    out_ref[:, col] = jnp.sum(w[:, t0:t1], axis=1)
+        if red_impl == 'mask':
+            # Segment sums as DENSE full-row reductions against constant
+            # 0/1 lane masks (built from iota — Pallas cannot capture array
+            # constants) + ONE assembled store. The per-(rs,ts,seg)
+            # unaligned slice-sums + 96 narrow column stores of the 'slice'
+            # variant lower to edge-masked lane shuffles that cost ~2/3 of
+            # the whole fwd kernel (probe_angablate: 2.88 -> 1.50 ms over
+            # the 26k tier shapes). Same terms + exact zeros, so only the
+            # reduction ORDER differs from 'slice' (rounding-level).
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+            smasks = [((lane >= t0) & (lane < t1)).astype(jnp.float32)
+                      for (t0, t1) in segs]
+            cv = [[None] * a_len for _ in range(n_seg)]
+            for i_rs in range(n_rs):
+                e = vf * es[i_rs]
+                for i_ts in range(n_ts):
+                    w = e * cps[i_ts]
+                    for i_seg in range(n_seg):
+                        cv[i_seg][i_rs * n_ts + i_ts] = jnp.sum(
+                            w * smasks[i_seg], axis=1, keepdims=True)
+            out_ref[:, :] = jnp.concatenate(
+                [c for seg_cols in cv for c in seg_cols], axis=1)
+        else:
+            for i_rs in range(n_rs):
+                e = vf * es[i_rs]
+                for i_ts in range(n_ts):
+                    w = e * cps[i_ts]
+                    for i_seg, (t0, t1) in enumerate(segs):
+                        col = i_seg * a_len + i_rs * n_ts + i_ts
+                        out_ref[:, col] = jnp.sum(w[:, t0:t1], axis=1)
 
     def fwd_kernel(dx_ref, dy_ref, dz_ref, m_ref, seljk_ref, out_ref):
         fwd_body(dx_ref[:], dy_ref[:], dz_ref[:], m_ref[:],
@@ -663,7 +689,8 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
                        bwd_impl: str = 'v2',
                        dot_impl: str = 'mixed',
                        pow_impl: str = 'split',
-                       fc_impl: str = 'poly') -> Array:
+                       fc_impl: str = 'poly',
+                       red_impl: str = 'mask') -> Array:
     """Full angular AEV [N, P*A] via the fused kernel: kernel segments placed
     into the reference layout and scaled by 2^(1-zeta) (autodiff chains
     through the placement).
@@ -671,12 +698,12 @@ def angular_aev_pallas(ang_deltas: Array, ang_mask: Array, basis: ANIBasis,
     With ``rad_width`` set, ``ang_deltas`` is the RADIAL payload
     [N, rad_width, 3] (the angular lanes are static slices of it)."""
     key = (basis, layout, block_size, interpret, rad_width, bwd_impl,
-           dot_impl, pow_impl, fc_impl)
+           dot_impl, pow_impl, fc_impl, red_impl)
     if key not in _ANGULAR_CACHE:
         _ANGULAR_CACHE[key] = make_angular_kernel(
             basis, layout, block_size=block_size, interpret=interpret,
             rad_width=rad_width, bwd_impl=bwd_impl, dot_impl=dot_impl,
-            pow_impl=pow_impl, fc_impl=fc_impl)
+            pow_impl=pow_impl, fc_impl=fc_impl, red_impl=red_impl)
     fn = _ANGULAR_CACHE[key]
     raw = fn(ang_deltas, ang_mask)                 # [N, n_seg * A]
     n = raw.shape[0]
