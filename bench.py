@@ -88,14 +88,18 @@ def composition_model(model, num_atoms: int, refresh: int, measured_us: float):
     utilization (VERDICT r3 item 7).
 
     Work terms are derived from the ACTUAL planned layout (cell grid,
-    occupancy buckets, angular row tiers, ensemble dims), costed with the
-    per-slot op counts of NOTES_PERF's roofline section (window radial ~90
-    elem-ops fwd + ~120 bwd per packed candidate slot; angular ~130 ops per
-    triple slot; row gathers at the measured ~4.5 ns/row latency wall; the
-    fused ensemble at the measured f32-equivalent MXU rate). "Peak" is the
-    chip's MEASURED sustained rate on this op class (VPU ~2e12 elem-ops/s on
-    wide rows; MXU ~43e12 FLOP/s f32 — NOTES_PERF round-2/3), so utilization
-    ~1.0 means at the practical speed of light for that term.
+    occupancy buckets, angular row tiers, ensemble dims), costed with
+    MEASURED per-unit rates (window radial ~90 elem-ops fwd + ~120 bwd per
+    packed candidate slot; angular ~1290 VPU-equivalent ops per triple slot
+    fwd+bwd — calibrated against the round-4 probe_r3b per-tier kernel
+    timings, 6.3 ms over 9.78 M triple slots at 26k, per-tier rates
+    947/1269/1434 (the old ~130 figure modeled fwd arithmetic only and was
+    ~10x under the measured kernels — VERDICT r4 weak #3); row gathers at
+    the measured ~4.5 ns/row latency wall; the fused ensemble at the
+    measured f32-equivalent MXU rate). "Peak" is the chip's MEASURED
+    sustained rate on this op class (VPU ~2e12 elem-ops/s on wide rows; MXU
+    ~43e12 FLOP/s f32 — NOTES_PERF round-2/3), so utilization ~1.0 means at
+    the practical speed of light for that term.
     """
     import numpy as np
     from nnpops_tpu.neighbors.window import _num_triples
@@ -136,10 +140,10 @@ def composition_model(model, num_atoms: int, refresh: int, measured_us: float):
                         for i, pc in enumerate(present_counts)])
         tri_ops = 0.0
         for caps_t, rows_t in zip(caps_all, planned):
-            tri_ops += sum(rows_t) * _num_triples(caps_t) * 130.0
+            tri_ops += sum(rows_t) * _num_triples(caps_t) * 1290.0
             gather_rows += sum(rows_t) * sum(caps_t) * 2.0   # fwd + mirror
         vpu_ops += tri_ops
-        comp['angular_triple_ops_G'] = round(tri_ops / 130.0 / 1e9, 2)
+        comp['angular_triple_ops_G'] = round(tri_ops / 1290.0 / 1e9, 3)
         comp['angular_model_ms'] = round(tri_ops / VPU * 1e3, 2)
         comp['gather_rows_M'] = round(gather_rows / 1e6, 2)
         comp['gather_model_ms'] = round(gather_rows * GROW * 1e3, 2)
@@ -220,15 +224,17 @@ def main():
 
     # The headline metric is the BASELINE.md north-star workload: the
     # 26k-atom box (8670 molecules). The 2.6k box is ALSO measured every
-    # run so rounds stay comparable on the small box (and it doubles as
-    # the fallback metric if the large program fails on the chip).
+    # run so rounds stay comparable on the small box. The 2.6k box runs
+    # FIRST: it compiles in seconds, so its line lands in the artifact
+    # even if a driver time budget kills the run mid-26k-compile
+    # (round 4 ran 26k first and lost the 2.6k metric to rc=124).
     if args.molecules:
         candidates = [(args.molecules, f'ani2x_energy_forces_us_per_step_'
                        f'{args.molecules * 3}atom_water')]
     else:
         candidates = [
-            (8670, 'ani2x_energy_forces_us_per_step_26k_water'),
             (867, 'ani2x_energy_forces_us_per_step_2.6k_water'),
+            (8670, 'ani2x_energy_forces_us_per_step_26k_water'),
         ]
 
     config = {'impl': args.impl, 'nn_impl': args.nn_impl,

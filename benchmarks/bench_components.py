@@ -250,6 +250,11 @@ def main():
         # periodic O(N) cell-list path carries the production-scale number.
         if args.atoms <= 8192:
             results.append(bench_cfconv(args.atoms, args.iters))
+        else:
+            print(f'# cfconv O(N^2) like-for-like bench skipped at '
+                  f'{args.atoms} atoms (cap 8192: [N^2] pair tensors '
+                  f'exceed HBM); only the periodic O(N) number follows',
+                  file=sys.stderr)
         results.append(bench_cfconv_periodic(max(args.atoms, 2601),
                                              args.iters))
     if args.which in ('batched_nn', 'all'):

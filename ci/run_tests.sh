@@ -8,12 +8,14 @@
 # scheduled/slow lane), keeping the per-commit gate fast on 1-CPU runners.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-# Parallelize across physical cores when the runner has them (pytest-xdist
-# is baked into the image; each worker re-pins the CPU platform via
-# conftest.py). On a 1-core host -n would only add IPC overhead.
+# Parallelize across cores when the runner has them (pytest-xdist is baked
+# into the image; each worker re-pins the CPU platform via conftest.py).
+# `-n auto` = one worker per available core as counted by xdist itself (no
+# psutil dependency, unlike `-n logical`). On a 1-core host -n would only
+# add IPC overhead.
 XDIST=()
 if [[ "$(nproc)" -gt 1 ]] && python -c 'import xdist' 2>/dev/null; then
-    XDIST=(-n logical)
+    XDIST=(-n auto)
 fi
 if [[ "${1:-}" == "--full" ]]; then
     shift

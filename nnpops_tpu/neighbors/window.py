@@ -689,6 +689,12 @@ def _make_tier_geometry(cc: int, mirror_impl: str = 'gather'):
     than the last writer — so GRADIENTS diverge from the actual forward
     compute too. Both are covered by the same contract: results from a step
     whose ``check_overflow`` reports a capacity breach must be discarded.
+    Additionally, in that regime the two adjoint impls diverge from EACH
+    OTHER: when a valid entry pairs with an invalid/pad entry (or the valid
+    count is odd) the closed mirror key has duplicates and is no longer a
+    permutation, so 'sort' places the duplicate-key cotangents arbitrarily
+    while 'gather' routes a zero via the appended zeros row — an A/B
+    between the impls is only meaningful on overflow-free steps.
 
     The naive composition (positions -> sorted gather -> slot scatter ->
     tier gathers / center gathers) pays three scatter-adds in its VJP at
@@ -775,6 +781,26 @@ def _perm_gather_bwd(inv_perm, g):
 
 
 _perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
+
+
+@jax.custom_vjp
+def _perm_gather_mid(x, perm, inv_perm):
+    """x[:, perm] for a PERMUTATION ``perm`` along axis 1, adjoint
+    ``g[:, inv_perm]`` (same scatter-avoidance as ``_perm_gather``; used by
+    the cell-occupancy bucketing's coarse-row permutes, whose XLA transpose
+    would otherwise be a [planes, ncells, kk] scatter-add per step)."""
+    return x[:, perm]
+
+
+def _perm_gather_mid_fwd(x, perm, inv_perm):
+    return x[:, perm], inv_perm
+
+
+def _perm_gather_mid_bwd(inv_perm, g):
+    return g[:, inv_perm], None, None
+
+
+_perm_gather_mid.defvjp(_perm_gather_mid_fwd, _perm_gather_mid_bwd)
 
 
 @jax.custom_vjp
@@ -928,14 +954,14 @@ def _compact_window_kernel(cc: int, cell_caps: Tuple[int, ...],
     window-lane (stencil-entry-major) order rather than the sort's
     slot-ascending order; all consumers are order-agnostic."""
     lane_sizes = [27 * cs for cs in cell_caps]
-    w_tot = sum(_round_up_128(w) for w in lane_sizes)
     # Fall back to the sort path when slot ids would lose f32 exactness OR
-    # when the kernel's [W, W] bf16 tri constant alone would blow the
-    # ~14 MB scoped-VMEM budget (wide lane layouts, w_tot >~ 2300).
-    if cc + 1 >= 2 ** 24 or 2 * w_tot * w_tot > 10 * 2 ** 20:
+    # when the left-pack kernels cannot fit scoped VMEM (shared helper —
+    # the kernels raise ValueError under exactly this condition, so the
+    # guard cannot drift from it).
+    from ..ops.pallas_select import left_pack, left_pack_supported
+    if cc + 1 >= 2 ** 24 or not left_pack_supported(lane_sizes):
         return _compact_window(cc, cell_caps, a_caps, valid_ang,
                                cand_slot_atom)
-    from ..ops.pallas_select import left_pack
     lane_offs = np.cumsum((0,) + tuple(lane_sizes))[:-1]
     krt = int(sum(a_caps))
     parts = []
@@ -1259,10 +1285,11 @@ def select_window(cell_list: CellList, positions: Array, box: Array,
     skin = cell_list.cutoff - radial_cutoff
     ang_window = angular_cutoff + max(skin, 0.0)
 
-    # Same VMEM guard as _compact_window_kernel: the left-pack kernels'
-    # [W, W] bf16 tri constant must fit scoped VMEM.
-    w_tot = sum(_round_up_128(27 * cs) for cs in a_ccaps)
-    use_mask = (compact_impl == 'mask' and 2 * w_tot * w_tot <= 10 * 2 ** 20)
+    # Same VMEM guard as _compact_window_kernel (shared helper, cannot
+    # drift from the kernels' own ValueError threshold).
+    from ..ops.pallas_select import left_pack_supported
+    use_mask = (compact_impl == 'mask'
+                and left_pack_supported([27 * cs for cs in a_ccaps]))
     if use_mask:
         nbr, mask, counts, air = _compact_window_mask(
             cc_a, a_ccaps, layout.ang_caps, cand_cells, pos_slots,
@@ -1500,11 +1527,18 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
     else:
         # Cell-occupancy bucketing: big cells (frozen permutation front)
         # run at full center rows, the rest with species-packed rows.
+        # All three coarse-row permutes ride permutation-gather custom
+        # VJPs: XLA's transpose of a plain gather is a scatter-add, which
+        # at these shapes ([3, ncells, kk] etc.) cost ~3.6 ms/step of the
+        # 26k backward (NOTES_PERF r4 'radial bwd glue'; scatter ~5x a
+        # gather at equal rows).
         perm = wsel.cell_perm
+        inv_perm = jnp.zeros((ncells,), jnp.int32).at[perm].set(
+            jnp.arange(ncells, dtype=jnp.int32))
         nb = layout.num_big_cells
         sc = layout.small_caps
-        winp = win[:, perm]                    # [3, ncells, kk] coarse
-        ctrp = centers[perm]
+        winp = _perm_gather_mid(win, perm, inv_perm)   # [3, ncells, kk]
+        ctrp = _perm_gather(centers, perm, inv_perm)
         rad_a = window_radial_aev(
             winp[0, :nb], winp[1, :nb], winp[2, :nb], ctrp[:nb],
             basis.radial_cutoff, basis.radial_eta, basis.radial_rs,
@@ -1531,9 +1565,7 @@ def window_features(cell_list: CellList, positions: Array, box: Array,
             pieces.append(blk)
         rad_b_full = jnp.concatenate(pieces, axis=1)   # [ns, c, out_w]
         rad_perm = jnp.concatenate([rad_a, rad_b_full], axis=0)
-        inv_perm = jnp.zeros((ncells,), jnp.int32).at[perm].set(
-            jnp.arange(ncells, dtype=jnp.int32))
-        rad_slots = rad_perm[inv_perm]                 # coarse row gather
+        rad_slots = _perm_gather(rad_perm, inv_perm, perm)  # coarse rows
     return _radial_rows_from_slots(rad_slots, angular, wsel, layout, basis,
                                    n, cc, num_r, row_atom)
 

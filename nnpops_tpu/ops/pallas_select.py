@@ -39,6 +39,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def left_pack_supported(widths) -> bool:
+    """True iff ``make_left_pack``/``make_left_pack_lanes`` can compile for
+    these (unpadded) per-species lane widths: the [W, W] bf16 tri constant
+    plus one minimal 64-row f32 block must fit the ~14 MB scoped-VMEM
+    budget. This is EXACTLY the kernels' ValueError condition — exported so
+    caller fallback guards (window._compact_window_kernel, select_window's
+    'mask' gate) cannot drift from it (round-4 advisor finding: a 10 MiB
+    caller guard admitted widths ~2154-2290 that the kernels reject)."""
+    w_tot = sum(_round_up(int(w), 128) for w in widths)
+    return 12 * 2 ** 20 - 2 * w_tot * w_tot >= 64 * 6 * w_tot * 4
+
+
 @functools.lru_cache(maxsize=32)
 def make_left_pack(widths: Tuple[int, ...], caps: Tuple[int, ...],
                    interpret: Optional[bool] = None,
