@@ -211,11 +211,17 @@ def main():
     parser.add_argument('--skin', type=float, default=0.25,
                         help='Verlet skin (A); selection refreshed every '
                              '--refresh steps instead of every step')
-    parser.add_argument('--refresh', type=int, default=6,
+    parser.add_argument('--refresh', type=int, default=8,
                         help='steps between selection refreshes. Valid while '
-                             'no atom moves more than skin/2 = 0.125 A: at '
-                             '300 K water moves < 0.02 A per 1 fs step, so '
-                             '6 steps is conservative for production MD.')
+                             'no atom moves more than skin/2 = 0.125 A; at '
+                             '300 K water H atoms move ~0.002 A per 1 fs '
+                             'step (v_rms ~ 1.6 A/ps), so 8 steps keeps '
+                             '>5x margin. Round-5 sweep (NOTES_PERF): '
+                             '(0.25, 8) = 20.8 ms beats (0.25, 6) = 21.4 '
+                             'and every larger-skin point — growing the '
+                             'skin inflates the dense radial window and '
+                             'angular caps by ~2 ms, dwarfing the extra '
+                             'amortization.')
     args = parser.parse_args()
 
     import jax

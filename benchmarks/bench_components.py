@@ -126,13 +126,18 @@ def bench_cfconv_periodic(num_atoms, iters):
     pos = jnp.asarray(pos_np)
     x = jnp.asarray(rng.randn(num_atoms, 128).astype(np.float32))
     chunk = 2048 if num_atoms > 4096 else None
+    bx = jnp.asarray(box)
 
     @jax.jit
     def build_and_run(pos, x):
+        # Round-5 production chain: mirror-paired selection + scatter-free
+        # distance payload + hand-VJP conv layers (NOTES_PERF r5).
         def total(p, inp):
-            payload = cell_list.build_payload(p, jnp.asarray(box))
-            return jnp.sum(stack.apply_payload(params, payload, inp,
-                                               chunk_size=chunk))
+            sel = cell_list.select(p, bx, build_mirror=True)
+            d, idx, m = cell_list.payload_distances_from_selection(
+                p, bx, sel)
+            return jnp.sum(stack.apply_distances(params, d, idx, m, inp,
+                                                 chunk_size=chunk))
         return jax.value_and_grad(total, argnums=(0, 1))(pos, x)
 
     ms = _timeit(build_and_run, pos, x, iters=iters)

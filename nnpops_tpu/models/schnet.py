@@ -48,16 +48,40 @@ class CFConvStack:
         return x
 
     def apply_payload(self, params: Tuple[CFConvParams, ...], payload,
-                      inputs: Array, chunk_size=None) -> Array:
+                      inputs: Array, chunk_size=None, compute_dtype=None,
+                      custom_adjoint: bool = True) -> Array:
         """The same L-layer stack over a cell-list neighbor payload — the
         O(N) production path for large periodic boxes (the reference stack
         is O(N^2)-built and non-periodic, BenchmarkCudaCFConv.cu:63-116,
         CFConv.cpp:131). One payload build serves all layers, exactly like
-        the shared CFConvNeighbors of schnet/CFConv.h:28-32."""
+        the shared CFConvNeighbors of schnet/CFConv.h:28-32.
+
+        ``compute_dtype``/``custom_adjoint``: see
+        :func:`nnpops_tpu.ops.cfconv.cfconv_from_payload` — bf16 matmuls
+        with f32 accumulation and the scatter-free hand-written adjoint are
+        the production configuration."""
         from ..ops.cfconv import cfconv_from_payload
         x = inputs
         for p in params:
-            x = cfconv_from_payload(p, payload, x, self.config, chunk_size)
+            x = cfconv_from_payload(p, payload, x, self.config, chunk_size,
+                                    compute_dtype=compute_dtype,
+                                    custom_adjoint=custom_adjoint)
+        return x
+
+    def apply_distances(self, params: Tuple[CFConvParams, ...],
+                        distances: Array, indices: Array, mask: Array,
+                        inputs: Array, chunk_size=None,
+                        compute_dtype=None) -> Array:
+        """The L-layer stack over an explicit (distances, indices, mask)
+        triple — pair it with ``CellList.select(build_mirror=True)`` +
+        ``payload_distances_from_selection`` for the scatter-free
+        production path at large N (NOTES_PERF round 5: the AD payload
+        adjoint alone cost 280 ms of the 26k CFConv step)."""
+        from ..ops.cfconv import cfconv_masked
+        x = inputs
+        for p in params:
+            x = cfconv_masked(p, distances, mask, indices, x, self.config,
+                              chunk_size, compute_dtype=compute_dtype)
         return x
 
 

@@ -17,6 +17,7 @@ a 27-cell stencil is always sufficient for the cutoff.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -49,6 +50,68 @@ class NeighborPayload(NamedTuple):
                 | (self.max_cell_occupancy > cell_capacity))
 
 
+def _dist_payload_sorted(p, box, order, slot_of_sorted, nbr_slot_k, mask,
+                         mirror, inv_order, cc: int):
+    return _make_dist_payload(int(cc))(p, box, order, slot_of_sorted,
+                                       nbr_slot_k, mask, mirror, inv_order)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_dist_payload(cc: int):
+    """Distances-from-frozen-selection with the mirror-routed adjoint (see
+    CellList.payload_distances_from_selection). Sorted-atom row space; no
+    box cotangent (fixed-box MD — the generic payload_from_selection path
+    keeps full AD box gradients)."""
+
+    @jax.custom_vjp
+    def dist_payload(p, box, order, slot_of_sorted, nbr_slot_k, mask,
+                     mirror, inv_order):
+        d, _ = _fwd_impl(p, box, order, slot_of_sorted, nbr_slot_k, mask)
+        return d
+
+    def _fwd_impl(p, box, order, slot_of_sorted, nbr_slot_k, mask):
+        n, k = nbr_slot_k.shape
+        pos_sorted = p[order]
+        slots = jnp.zeros((cc + 1, 3), p.dtype)
+        slots = slots.at[slot_of_sorted].set(pos_sorted, mode='drop')
+        nbr = slots[nbr_slot_k.reshape(-1)].reshape(n, k, 3)
+        deltas = minimum_image(nbr - pos_sorted[:, None, :], box)
+        d = jnp.sqrt(jnp.where(mask, jnp.sum(deltas * deltas, axis=-1),
+                               1.0))
+        d = jnp.where(mask, d, 0.0)
+        return d, deltas
+
+    def _fwd(p, box, order, slot_of_sorted, nbr_slot_k, mask, mirror,
+             inv_order):
+        d, deltas = _fwd_impl(p, box, order, slot_of_sorted, nbr_slot_k,
+                              mask)
+        return d, (d, deltas, mask, mirror, inv_order)
+
+    def _bwd(res, g):
+        d, deltas, mask, mirror, inv_order = res
+        n, k = d.shape
+        tot = n * k
+        live = mask & (d > 0.0)
+        big_d = jnp.where(live, d, 1.0)
+        u = deltas / big_d[..., None]
+        dcot = jnp.where(live, g, 0.0)
+        # Mirror apply = ONE single-key 2-array sort by the closed
+        # involution (invalid entries -> self): sorted position q receives
+        # dcot[mirror[q]] (window._make_tier_geometry 'sort').
+        flat = dcot.reshape(-1)
+        idx = jnp.arange(tot, dtype=jnp.int32)
+        key = jnp.where(mask.reshape(-1) & (mirror.reshape(-1) < tot),
+                        mirror.reshape(-1), idx)
+        _, dm_flat = jax.lax.sort([key, flat], num_keys=1)
+        dm = jnp.where(live, dm_flat.reshape(n, k), 0.0)
+        rows = -jnp.sum((dcot + dm)[..., None] * u, axis=1)    # [N, 3]
+        d_p = rows[inv_order]
+        return (d_p,) + (None,) * 7
+
+    dist_payload.defvjp(_fwd, _bwd)
+    return dist_payload
+
+
 class SlotSelection(NamedTuple):
     """A frozen neighbor selection in cell-slot space (all integer/static).
 
@@ -65,6 +128,10 @@ class SlotSelection(NamedTuple):
     mask: Array            # [N, K] valid-pair mask at freeze time
     max_neighbors: Array
     max_cell_occupancy: Array
+    # Optional [N, K] flat index of each directed entry's reverse copy
+    # (N*K = invalid), built by select(build_mirror=True). Consumed by
+    # payload_distances_from_selection's scatter-free position adjoint.
+    mirror: Optional[Array] = None
 
 
 class NeighborList(NamedTuple):
@@ -252,11 +319,17 @@ class CellList:
         sel = self.select(positions, box)
         return self.payload_from_selection(positions, box, sel, features)
 
-    def select(self, positions: Array, box: Array) -> SlotSelection:
+    def select(self, positions: Array, box: Array,
+               build_mirror: bool = False) -> SlotSelection:
         """The non-differentiable selection phase: cell assignment, slot
         packing and per-atom compaction to K. Everything runs under
         stop_gradient — selection is a discrete choice; gradients flow only
         through the payload phase. Freeze once, reuse for many steps.
+
+        ``build_mirror``: also pair every directed entry with its reverse
+        copy (two single-key sorts, window._mirror_packed's relative-lane
+        encoding) — required by the scatter-free distance-payload adjoint
+        (:meth:`payload_distances_from_selection`).
 
         All per-candidate work runs over the N real atoms (sorted by cell),
         not over the cells*C slot grid — slot rows are ~2x padding at liquid
@@ -351,12 +424,18 @@ class CellList:
         slot_to_atom = jnp.full((cc + 1,), n, jnp.int32)
         slot_to_atom = slot_to_atom.at[slot_of_sorted].set(
             order.astype(jnp.int32), mode='drop')
+        mirror = None
+        if build_mirror:
+            from .window import _mirror_packed
+            mirror = _mirror_packed(
+                [(slot_of_sorted.astype(jnp.int32), nbr_slot_k, mask)],
+                cc, grid3=self.ncells, c_per_cell=c)[0]
         return SlotSelection(order=order.astype(jnp.int32),
                              slot_of_sorted=slot_of_sorted.astype(jnp.int32),
                              inv_order=inv_order, slot_to_atom=slot_to_atom,
                              nbr_slot_k=nbr_slot_k, mask=mask,
                              max_neighbors=jnp.max(counts),
-                             max_cell_occupancy=max_occ)
+                             max_cell_occupancy=max_occ, mirror=mirror)
 
     def payload_from_selection(self, positions: Array, box: Array,
                                sel: SlotSelection,
@@ -403,6 +482,43 @@ class CellList:
             mask=sel.mask[io],
             max_neighbors=sel.max_neighbors,
             max_cell_occupancy=sel.max_cell_occupancy)
+
+    def payload_distances_from_selection(self, positions: Array, box: Array,
+                                         sel: SlotSelection):
+        """Distances-only payload phase with a SCATTER-FREE position
+        adjoint (requires ``sel.mirror``; ``select(build_mirror=True)``).
+
+        Returns ``(distances [N, K], indices [N, K], mask [N, K])`` in
+        ORIGINAL atom order. For consumers that differentiate only through
+        the DISTANCES (CFConv: the filter depends on r alone), the whole
+        position adjoint collapses to dense math plus ONE single-key sort:
+
+            d_pos_i = -sum_l (D[i,l] + D_mirror[i,l]) * u[i,l]
+
+        where D is the incoming distance cotangent and u the unit delta.
+        Proof: each directed entry (i -> j) contributes D[i,l] * (-u) to
+        pos_i and D[i,l] * (+u) to pos_j; the pos_j halves, re-indexed by
+        rows via the mirror pairing, are exactly D_mirror[i,l] * (-u[i,l])
+        because the mirrored entry's unit vector is -u. The mirror apply is
+        a permutation — one 2-array ``lax.sort`` by the involution-closed
+        key (window._make_tier_geometry 'sort', same trick) — replacing
+        XLA's 14M-row scatter-add transpose of the neighbor-slot gather
+        (measured 280 ms of the 26k CFConv step, NOTES_PERF r5)."""
+        if sel.mirror is None:
+            raise ValueError('payload_distances_from_selection needs a '
+                             'selection built with select(build_mirror='
+                             'True)')
+        n = positions.shape[0]
+        c = self.cell_capacity
+        cc = self.num_cells * c
+        k = self.capacity
+        dist_sorted = _dist_payload_sorted(
+            positions, box, sel.order, sel.slot_of_sorted, sel.nbr_slot_k,
+            sel.mask, sel.mirror, sel.inv_order, cc)
+        from .window import _perm_gather
+        dist = _perm_gather(dist_sorted, sel.inv_order, sel.order)
+        nbr_idx = jnp.where(sel.mask, sel.slot_to_atom[sel.nbr_slot_k], n)
+        return dist, nbr_idx[sel.inv_order], sel.mask[sel.inv_order]
 
     def _payload_dense(self, positions: Array, box: Optional[Array],
                        features: Optional[Array]) -> 'NeighborPayload':

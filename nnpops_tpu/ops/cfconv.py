@@ -17,6 +17,8 @@ produce at all.
 """
 from __future__ import annotations
 
+import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -92,7 +94,9 @@ def pair_filters(params: CFConvParams, distances: Array, mask: Array,
 
 def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
                         config: CFConvConfig,
-                        chunk_size: Optional[int] = None) -> Array:
+                        chunk_size: Optional[int] = None,
+                        compute_dtype=None,
+                        custom_adjoint: bool = True) -> Array:
     """CFConv over a directed per-atom neighbor payload (CellList.build_payload).
 
     O(N) alternative to the half-pair-list path for large periodic systems
@@ -106,6 +110,24 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
     ``chunk_size``: process atom rows in blocks under ``lax.map``, bounding
     the [rows, K, width] filter intermediate (26k atoms x ~450 lanes at a
     10 A cutoff x width 128 would otherwise be a 6 GB tensor).
+
+    ``compute_dtype``: matmul/gather operand dtype. None (default) keeps
+    f32 operands (the strict-parity path; XLA runs f32 matmuls as multiple
+    MXU passes). ``jnp.bfloat16`` runs the two filter matmuls and the
+    neighbor-input gather in bf16 with f32 accumulation — ~1e-3 relative
+    output error, inside the reference's golden tolerance (TestCFConv.h:134
+    atol 1e-4 rtol 1e-3 applies to f32; bf16 is the production option, like
+    the ANI ensemble's nn_dtype).
+
+    ``custom_adjoint`` (default True): use the hand-written chunked VJP —
+    the input-gradient uses the operator's SELF-ADJOINTNESS in the inputs
+    (the filter depends only on the symmetric r_ij and the list is
+    directed-symmetric, so d_inputs = the same conv applied to the output
+    cotangent — a gather, where XLA's transpose of the forward gather is a
+    14M-row scatter-add at 26k), and the weight/distance gradients are
+    recomputed per chunk with fused matmuls. False = plain jax.grad through
+    the rematerialized chunk body (the round-4 path, kept for A/B and as
+    the oracle for the adjoint parity tests).
     """
     n, k = payload.distances.shape
     # Re-mask by the layer cutoff: the payload may carry a Verlet skin, and
@@ -113,6 +135,11 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
     mask = payload.mask & (payload.distances < config.cutoff)
     dist = jnp.where(mask, payload.distances, 0.0)
     idx = jnp.where(mask, payload.indices, n)
+    if custom_adjoint:
+        dt_name = (None if compute_dtype is None
+                   else jnp.dtype(compute_dtype).name)
+        conv = _make_payload_conv(config, chunk_size, dt_name)
+        return conv(params, dist, mask, idx, inputs)
     inputs_pad = jnp.concatenate([inputs, jnp.zeros((1, inputs.shape[1]),
                                                     inputs.dtype)])
 
@@ -140,6 +167,179 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
         jax.checkpoint(lambda args: rows(*args)),
         (blocks(dist, 0.0), blocks(mask, False), blocks(idx, n)))
     return out.reshape(nb * chunk_size, -1)[:n]
+
+
+def cfconv_masked(params: CFConvParams, distances: Array, mask: Array,
+                  indices: Array, inputs: Array, config: CFConvConfig,
+                  chunk_size: Optional[int] = None,
+                  compute_dtype=None) -> Array:
+    """CFConv over an explicit (distances, mask, indices) neighbor triple
+    (e.g. ``CellList.payload_distances_from_selection`` — the production
+    26k path whose position adjoint is scatter-free). Same math as
+    :func:`cfconv_from_payload` with ``custom_adjoint=True``; the filter
+    depends on distances only, so no deltas are ever materialized."""
+    n = inputs.shape[0]
+    m = mask & (distances < config.cutoff)
+    dist = jnp.where(m, distances, 0.0)
+    idx = jnp.where(m, indices, n)
+    dt_name = (None if compute_dtype is None
+               else jnp.dtype(compute_dtype).name)
+    conv = _make_payload_conv(config, chunk_size, dt_name)
+    return conv(params, dist, m, idx, inputs)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_payload_conv(config: CFConvConfig, chunk_size: Optional[int],
+                       dtype_name: Optional[str]):
+    """Build the custom-VJP payload conv for one (config, chunk, dtype).
+
+    Forward per chunk of atom rows (B = chunk rows, K lanes, W width,
+    G gaussians): gaussian basis -> [BK, G] x [G, W] -> activation ->
+    [BK, W] x [W, W] -> cosine cutoff -> multiply by gathered neighbor
+    inputs -> sum over K. Matmuls ride the MXU in ``dtype`` with f32
+    accumulation.
+
+    Backward per chunk (hand-written; one fused recompute pass, no
+    scatter anywhere):
+
+    * d_inputs = conv(params, geometry, g) — self-adjointness: the pair
+      matrix A_f[i, j] = sum_l 1[idx[i,l]=j] y2[i,l,f] is SYMMETRIC
+      because y2 depends only on r_ij = r_ji and the payload lists both
+      directions of every pair (rows gather ``g`` instead of scattering
+      cotangents). Broken only when overflow drops one direction — the
+      standard soft-failure contract (results must be discarded) covers it.
+    * d_w1/b1/w2/b2 and d_distances: the textbook dense-layer adjoints,
+      recomputed chunkwise: d_y2 = g x_gathered, back through cutoff,
+      w2, activation, w1, gaussians. Distance cotangents chain through
+      both the gaussian centers and the cutoff (CpuCFConv.cpp:211-299
+      derives the same terms; here they are [BK, *] matmuls).
+    """
+    dtype = None if dtype_name is None else jnp.dtype(dtype_name)
+    rc = float(config.cutoff)
+    gw = float(config.gaussian_width)
+    act_kind = config.activation
+
+    def _cast(a):
+        return a if dtype is None else a.astype(dtype)
+
+    def _mm(a, b):
+        return jnp.dot(_cast(a), _cast(b),
+                       preferred_element_type=jnp.float32)
+
+    def _filter_fwd(params, d, m):
+        """Shared filter pipeline on [B, K] rows; returns intermediates."""
+        centers = jnp.asarray(config.gaussian_positions)
+        u = (d[..., None] - centers) / gw
+        gauss = jnp.exp(-0.5 * u * u)                        # [B, K, G]
+        h = _mm(gauss, params.w1) + params.b1
+        if act_kind == 'ssp':
+            act = jax.nn.softplus(h) - _LN2
+        else:
+            act = jnp.tanh(h)
+        y1 = _mm(act, params.w2) + params.b2                 # [B, K, W]
+        fc = jnp.where(m, 0.5 * jnp.cos(math.pi / rc * d) + 0.5, 0.0)
+        y2 = y1 * fc[..., None]
+        return u, gauss, h, act, y1, fc, y2
+
+    def _chunks(n):
+        if chunk_size is None or n <= chunk_size:
+            return n, 1, 0
+        pad = (-n) % chunk_size
+        return chunk_size, (n + pad) // chunk_size, pad
+
+    def _split(x, nb, pad, fill):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+        return x.reshape((nb, x.shape[0] // nb) + x.shape[1:])
+
+    def _fwd_rows(params, d, m, i, x_pad):
+        *_, y2 = _filter_fwd(params, d, m)
+        # The neighbor-input gather stays f32: gathering bf16 rows + an
+        # explicit upcast measured SLOWER than the f32 gather (348 vs
+        # 245 ms fwd at 26k, NOTES_PERF r5) — compute_dtype only routes
+        # the MXU matmul operands.
+        xg = x_pad[i]                                        # [B, K, W]
+        return jnp.sum(y2 * xg, axis=1)
+
+    @jax.custom_vjp
+    def conv(params, dist, mask, idx, x):
+        n = x.shape[0]
+        x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        b, nb, pad = _chunks(n)
+        if nb == 1:
+            return _fwd_rows(params, dist, mask, idx, x_pad)
+        out = jax.lax.map(
+            lambda a: _fwd_rows(params, a[0], a[1], a[2], x_pad),
+            (_split(dist, nb, pad, 0.0), _split(mask, nb, pad, False),
+             _split(idx, nb, pad, n)))
+        return out.reshape(nb * b, -1)[:n]
+
+    def _bwd_rows(params, d, m, i, x_pad, g_pad, gc):
+        """One chunk of the fused backward. ``gc`` [B, W] is the chunk's
+        output cotangent; returns (d_params partials, d_dist chunk,
+        d_x rows chunk)."""
+        u, gauss, h, act, y1, fc, y2 = _filter_fwd(params, d, m)
+        bk = d.shape[0] * d.shape[1]
+        w = y1.shape[-1]
+        gk = gauss.shape[-1]
+        xg = x_pad[i]                                        # [B, K, W]
+        gg = g_pad[i]                                        # [B, K, W]
+        # Self-adjoint input grad: rows of d_x for THIS chunk's atoms.
+        d_x_rows = jnp.sum(y2 * gg, axis=1)                  # [B, W]
+        # Filter cotangent from the product rule.
+        d_y2 = gc[:, None, :] * xg                           # [B, K, W]
+        d_y1 = d_y2 * fc[..., None]
+        d_fc = jnp.sum(d_y2 * y1, axis=-1)                   # [B, K]
+        d2 = d_y1.reshape(bk, w)
+        d_w2 = _mm(act.reshape(bk, w).T, d2)
+        d_b2 = jnp.sum(d2, axis=0)
+        d_act = _mm(d2, params.w2.T).reshape(h.shape)
+        if act_kind == 'ssp':
+            d_h = d_act * jax.nn.sigmoid(h)
+        else:
+            d_h = d_act * (1.0 - act * act)
+        dh2 = d_h.reshape(bk, w)
+        d_w1 = _mm(gauss.reshape(bk, gk).T, dh2)
+        d_b1 = jnp.sum(dh2, axis=0)
+        d_gauss = _mm(dh2, params.w1.T).reshape(gauss.shape)
+        # d/dd of gauss = gauss * (-u / gw); of fc = -pi/(2 rc) sin(...).
+        d_d = jnp.sum(d_gauss * gauss * (-u / gw), axis=-1)
+        d_d = d_d + d_fc * jnp.where(
+            m, -0.5 * math.pi / rc * jnp.sin(math.pi / rc * d), 0.0)
+        return ((d_w1, d_b1, d_w2, d_b2), jnp.where(m, d_d, 0.0), d_x_rows)
+
+    def _conv_fwd(params, dist, mask, idx, x):
+        return conv(params, dist, mask, idx, x), (params, dist, mask, idx, x)
+
+    def _conv_bwd(res, g):
+        params, dist, mask, idx, x = res
+        n, width = x.shape
+        x_pad = jnp.concatenate([x, jnp.zeros((1, width), x.dtype)])
+        g_pad = jnp.concatenate([g, jnp.zeros((1, width), g.dtype)])
+        b, nb, pad = _chunks(n)
+        if nb == 1:
+            dw, d_dist, d_x = _bwd_rows(params, dist, mask, idx, x_pad,
+                                        g_pad, g)
+            return (CFConvParams(*dw), d_dist, None, None, d_x)
+
+        def body(carry, a):
+            dw, dd, dx = _bwd_rows(params, a[0], a[1], a[2], x_pad, g_pad,
+                                   a[3])
+            return (tuple(c + p for c, p in zip(carry, dw))), (dd, dx)
+
+        zeros = (jnp.zeros_like(params.w1), jnp.zeros_like(params.b1),
+                 jnp.zeros_like(params.w2), jnp.zeros_like(params.b2))
+        dw, (d_dist, d_x) = jax.lax.scan(
+            body, zeros,
+            (_split(dist, nb, pad, 0.0), _split(mask, nb, pad, False),
+             _split(idx, nb, pad, n), _split(g, nb, pad, 0.0)))
+        d_dist = d_dist.reshape(nb * b, -1)[:n]
+        d_x = d_x.reshape(nb * b, -1)[:n]
+        return (CFConvParams(*dw), d_dist, None, None, d_x)
+
+    conv.defvjp(_conv_fwd, _conv_bwd)
+    return conv
 
 
 def cfconv(params: CFConvParams, neighbors: MaskedPairs, inputs: Array,

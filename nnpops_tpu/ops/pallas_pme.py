@@ -94,12 +94,27 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
 
     # Row blocking: the backward kernel keeps ~14 [rb, kk] f32 temporaries
     # live at once; scoped VMEM is 16 MB, so bound rb (measured OOM at
-    # [200, 5400] on v5e). rb must divide c (planner rounds c to 8).
-    budget = int(6e6 // (kk * 4 * 14)) // 8 * 8
-    rb = c if c <= max(budget, 8) else max(
-        (d for d in range(8, c + 1, 8) if c % d == 0 and d <= budget),
-        default=8)
-    nrb = c // rb
+    # [200, 5400] on v5e). Round 5: rb no longer has to divide c — center
+    # rows are PADDED to a multiple of rb instead. The old divisor rule
+    # collapsed rb to 8 at production shapes (c=104 -> rb=8: single-sublane
+    # [8, kk] tiles, the narrow-array instruction-overhead wall that cost
+    # the z-pair/cluster kernels 2x, NOTES_PERF r2 session 6); rb=32+ rides
+    # 4-sublane tiles. The row loop is a grid dimension (pipelined DMA),
+    # not a fori_loop.
+    def _pick_rb(n_arrays: int) -> int:
+        budget = int(6e6 // (kk * 4 * n_arrays)) // 8 * 8
+        hi = int(max(8, min(64, budget, -(-c // 8) * 8)))
+        # Among 8-multiples that fit VMEM, keep blocks at >= 4 sublane
+        # tiles when the budget allows (narrow tiles are the instruction
+        # wall), then minimize padded-row waste (ceil(c/rb)*rb),
+        # tie-broken toward wider blocks.
+        cands = range(min(32, hi), hi + 1, 8)
+        return min(cands, key=lambda r: (-(-c // r) * r, -r))
+
+    rb_f = _pick_rb(7)
+    rb_b = _pick_rb(14)
+    cpad_f = -(-c // rb_f) * rb_f
+    cpad_b = -(-c // rb_b) * rb_b
 
     def lane_slot_ids(a):
         """[1, kk] global slot id of every window lane of cell ``a``
@@ -120,21 +135,22 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
         bz = (az + oz + nz) % nz
         return ((bx * ny + by) * nz + bz) * c + rank
 
-    def pair_quantities(cx, cy, cz, ctr, a, j):
-        """Quantities for center rows [j*rb, (j+1)*rb) of cell ``a``;
-        everything is [rb, kk]."""
+    def pair_quantities(cx, cy, cz, ctr, a, row0, rb):
+        """Quantities for center rows [row0, row0 + rb) of cell ``a``;
+        everything is [rb, kk]. Padded center rows (row >= c, FAR fill)
+        fail the cutoff on their own."""
         dx = cx - ctr[:, 0:1]
         dy = cy - ctr[:, 1:2]
         dz = cz - ctr[:, 2:3]
         d2 = dx * dx + dy * dy + dz * dz
         slot_ids = lane_slot_ids(a)                       # [1, kk]
-        row = jax.lax.broadcasted_iota(jnp.int32, (rb, kk), 0) + j * rb
+        row = jax.lax.broadcasted_iota(jnp.int32, (rb, kk), 0) + row0
         self_slot = a * c + row
         valid = (d2 < rc * rc) & (slot_ids != self_slot)
         r = jnp.sqrt(jnp.maximum(d2, 1e-12))
         return dx, dy, dz, r, valid, slot_ids
 
-    def excl_mask(excl, slot_ids):
+    def excl_mask(excl, slot_ids, rb):
         if not has_excl:
             return None
         m = jnp.zeros((rb, kk), jnp.bool_)
@@ -145,115 +161,133 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
     def fwd_kernel(cx_ref, cy_ref, cz_ref, cq_ref, ctr_ref, excl_ref,
                    out_ref):
         a = pl.program_id(0)
+        j = pl.program_id(1)
         cx = cx_ref[0]
         cy = cy_ref[0]
         cz = cz_ref[0]
         cq = cq_ref[0]                                    # [1, kk]
-
-        def body(j, _):
-            ctr = ctr_ref[0, pl.ds(j * rb, rb), :]        # [rb, 4]
-            _, _, _, r, valid, slot_ids = pair_quantities(cx, cy, cz,
-                                                          ctr, a, j)
-            if has_excl:
-                excl = excl_ref[0, pl.ds(j * rb, rb), :]
-                valid = valid & ~excl_mask(excl, slot_ids)
-            w = jnp.where(valid, _erfc_poly(al * r) / r, 0.0)
-            qq = ctr[:, 3:4] * cq                         # [rb, kk]
-            out_ref[0, pl.ds(j * rb, rb), :] = (
-                (0.5 * ke) * jnp.sum(qq * w, axis=1, keepdims=True))
-            return 0
-
-        jax.lax.fori_loop(0, nrb, body, 0, unroll=False)
+        ctr = ctr_ref[0]                                  # [rb_f, 4]
+        _, _, _, r, valid, slot_ids = pair_quantities(cx, cy, cz, ctr, a,
+                                                      j * rb_f, rb_f)
+        if has_excl:
+            valid = valid & ~excl_mask(excl_ref[0], slot_ids, rb_f)
+        w = jnp.where(valid, _erfc_poly(al * r) / r, 0.0)
+        qq = ctr[:, 3:4] * cq                             # [rb_f, kk]
+        out_ref[0] = (0.5 * ke) * jnp.sum(qq * w, axis=1, keepdims=True)
 
     def bwd_kernel(cx_ref, cy_ref, cz_ref, cq_ref, ctr_ref, excl_ref,
                    g_ref, dcx_ref, dcy_ref, dcz_ref, dcq_ref, dctr_ref):
         a = pl.program_id(0)
+        j = pl.program_id(1)
         cx = cx_ref[0]
         cy = cy_ref[0]
         cz = cz_ref[0]
         cq = cq_ref[0]
-        dcx_ref[0] = jnp.zeros((1, kk), jnp.float32)
-        dcy_ref[0] = jnp.zeros((1, kk), jnp.float32)
-        dcz_ref[0] = jnp.zeros((1, kk), jnp.float32)
-        dcq_ref[0] = jnp.zeros((1, kk), jnp.float32)
+        ctr = ctr_ref[0]                                  # [rb_b, 4]
+        gg = g_ref[0]                                     # [rb_b, 1]
+        dx, dy, dz, r, valid, slot_ids = pair_quantities(cx, cy, cz, ctr,
+                                                         a, j * rb_b, rb_b)
+        if has_excl:
+            valid = valid & ~excl_mask(excl_ref[0], slot_ids, rb_b)
+        rinv = 1.0 / r
+        erfc_r = _erfc_poly(al * r)
+        w = jnp.where(valid, erfc_r * rinv, 0.0)
+        # d/dr [erfc(al r)/r] = -(2al/sqrt(pi) e^{-a^2r^2} + erfc/r)/r
+        dw = jnp.where(
+            valid,
+            -(two_over_sqrt_pi * al * jnp.exp(-(al * r) ** 2)
+              + erfc_r * rinv) * rinv, 0.0)
+        qq = ctr[:, 3:4] * cq
+        ghalf = (0.5 * ke) * gg                           # [rb_b, 1]
+        coef = ghalf * qq * dw * rinv                     # [rb_b, kk]
+        gx = coef * dx
+        gy = coef * dy
+        gz = coef * dz
+        # delta = cand - center: +coef*d to the lane, -coef*d to row. The
+        # lane cotangents accumulate across the row-block grid steps of one
+        # cell (the dc* blocks revisit: their index_map ignores j).
+        sx = jnp.sum(gx, axis=0, keepdims=True)
+        sy = jnp.sum(gy, axis=0, keepdims=True)
+        sz = jnp.sum(gz, axis=0, keepdims=True)
+        gw = ghalf * w
+        sq = jnp.sum(gw * ctr[:, 3:4], axis=0, keepdims=True)
 
-        def body(j, _):
-            ctr = ctr_ref[0, pl.ds(j * rb, rb), :]        # [rb, 4]
-            gg = g_ref[0, pl.ds(j * rb, rb), :]           # [rb, 1]
-            dx, dy, dz, r, valid, slot_ids = pair_quantities(cx, cy, cz,
-                                                             ctr, a, j)
-            if has_excl:
-                excl = excl_ref[0, pl.ds(j * rb, rb), :]
-                valid = valid & ~excl_mask(excl, slot_ids)
-            rinv = 1.0 / r
-            erfc_r = _erfc_poly(al * r)
-            w = jnp.where(valid, erfc_r * rinv, 0.0)
-            # d/dr [erfc(al r)/r] = -(2al/sqrt(pi) e^{-a^2r^2} + erfc/r)/r
-            dw = jnp.where(
-                valid,
-                -(two_over_sqrt_pi * al * jnp.exp(-(al * r) ** 2)
-                  + erfc_r * rinv) * rinv, 0.0)
-            qq = ctr[:, 3:4] * cq
-            ghalf = (0.5 * ke) * gg                       # [rb, 1]
-            coef = ghalf * qq * dw * rinv                 # [rb, kk]
-            gx = coef * dx
-            gy = coef * dy
-            gz = coef * dz
-            # delta = cand - center: +coef*d to the lane, -coef*d to row.
-            dcx_ref[0] += jnp.sum(gx, axis=0, keepdims=True)
-            dcy_ref[0] += jnp.sum(gy, axis=0, keepdims=True)
-            dcz_ref[0] += jnp.sum(gz, axis=0, keepdims=True)
-            gw = ghalf * w
-            dcq_ref[0] += jnp.sum(gw * ctr[:, 3:4], axis=0, keepdims=True)
-            dq_row = jnp.sum(gw * cq, axis=1, keepdims=True)
-            dctr_ref[0, pl.ds(j * rb, rb), :] = jnp.concatenate(
-                [-jnp.sum(gx, axis=1, keepdims=True),
-                 -jnp.sum(gy, axis=1, keepdims=True),
-                 -jnp.sum(gz, axis=1, keepdims=True),
-                 dq_row], axis=1)
-            return 0
+        @pl.when(j == 0)
+        def _init():
+            dcx_ref[0] = sx
+            dcy_ref[0] = sy
+            dcz_ref[0] = sz
+            dcq_ref[0] = sq
 
-        jax.lax.fori_loop(0, nrb, body, 0, unroll=False)
+        @pl.when(j > 0)
+        def _acc():
+            dcx_ref[0] += sx
+            dcy_ref[0] += sy
+            dcz_ref[0] += sz
+            dcq_ref[0] += sq
+
+        dq_row = jnp.sum(gw * cq, axis=1, keepdims=True)
+        dctr_ref[0] = jnp.concatenate(
+            [-jnp.sum(gx, axis=1, keepdims=True),
+             -jnp.sum(gy, axis=1, keepdims=True),
+             -jnp.sum(gz, axis=1, keepdims=True),
+             dq_row], axis=1)
 
     def lane_spec():
-        return pl.BlockSpec((1, 1, kk), lambda i: (i, 0, 0),
+        return pl.BlockSpec((1, 1, kk), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def spec(shape):
-        return pl.BlockSpec((1,) + shape, lambda i: (i, 0, 0),
+    def row_spec(rows, width):
+        return pl.BlockSpec((1, rows, width), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
     def _mid(x):
         return x.reshape(x.shape[0], 1, x.shape[1])
 
+    def _pad_rows(x, cpad, fill):
+        if cpad == c:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((x.shape[0], cpad - c) + x.shape[2:], fill,
+                         x.dtype)], axis=1)
+
     def run_fwd(candx, candy, candz, candq, centers, excl):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             fwd_kernel,
-            grid=(ncells,),
-            in_specs=[lane_spec()] * 4 + [spec((c, 4)), spec((c, ne))],
-            out_specs=spec((c, 1)),
-            out_shape=jax.ShapeDtypeStruct((ncells, c, 1), jnp.float32),
+            grid=(ncells, cpad_f // rb_f),
+            in_specs=[lane_spec()] * 4 + [row_spec(rb_f, 4),
+                                          row_spec(rb_f, ne)],
+            out_specs=row_spec(rb_f, 1),
+            out_shape=jax.ShapeDtypeStruct((ncells, cpad_f, 1),
+                                           jnp.float32),
             interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), _mid(candq), centers, excl)
+        )(_mid(candx), _mid(candy), _mid(candz), _mid(candq),
+          _pad_rows(centers, cpad_f, 2.0 * FAR),
+          _pad_rows(excl, cpad_f, -1))
+        return out[:, :c]
 
     def run_bwd(candx, candy, candz, candq, centers, excl, g):
         outs = pl.pallas_call(
             bwd_kernel,
-            grid=(ncells,),
-            in_specs=[lane_spec()] * 4 + [spec((c, 4)), spec((c, ne)),
-                                          spec((c, 1))],
-            out_specs=(lane_spec(),) * 4 + (spec((c, 4)),),
+            grid=(ncells, cpad_b // rb_b),
+            in_specs=[lane_spec()] * 4 + [row_spec(rb_b, 4),
+                                          row_spec(rb_b, ne),
+                                          row_spec(rb_b, 1)],
+            out_specs=(lane_spec(),) * 4 + (row_spec(rb_b, 4),),
             out_shape=(jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
                        jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, c, 4), jnp.float32)),
+                       jax.ShapeDtypeStruct((ncells, cpad_b, 4),
+                                            jnp.float32)),
             interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), _mid(candq), centers,
-          excl, g)
+        )(_mid(candx), _mid(candy), _mid(candz), _mid(candq),
+          _pad_rows(centers, cpad_b, 2.0 * FAR),
+          _pad_rows(excl, cpad_b, -1), _pad_rows(g, cpad_b, 0.0))
         dcx, dcy, dcz, dcq, dctr = outs
         return (dcx.reshape(ncells, kk), dcy.reshape(ncells, kk),
-                dcz.reshape(ncells, kk), dcq.reshape(ncells, kk), dctr)
+                dcz.reshape(ncells, kk), dcq.reshape(ncells, kk),
+                dctr[:, :c])
 
     @jax.custom_vjp
     def pme_window(candx, candy, candz, candq, centers, excl):

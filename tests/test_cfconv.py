@@ -169,3 +169,130 @@ def test_payload_stack_production_scale():
     g = jax.grad(lambda p: jnp.sum(stack.apply_payload(
         params, cl.build_payload(p, box), x, chunk_size=512)))(pos)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_payload_custom_adjoint_matches_ad(golden_cfconv):
+    """The hand-written chunked VJP (self-adjoint input grad, fused
+    weight/distance adjoints — the scatter-free production path) matches
+    plain jax.grad through the rematerialized chunk body for EVERY
+    cotangent: weights, inputs, and positions (through the payload)."""
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.ops.cfconv import cfconv_from_payload
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(300, seed=4)
+    cfg = CFConvConfig(width=8, num_gaussians=5, cutoff=4.0,
+                       gaussian_width=0.5)
+    params = CFConvParams.from_reference_layout(
+        golden_cfconv['w1'], golden_cfconv['b1'],
+        golden_cfconv['w2'], golden_cfconv['b2'])
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    rng = np.random.RandomState(3)
+    n = len(water.positions)
+    x = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(n, 8).astype(np.float32))   # output cotangent
+    cl = CellList.create(water.box, cfg.cutoff, capacity=64)
+
+    def loss(p, prm, inp, custom, chunk):
+        payload = cl.build_payload(p, box)
+        out = cfconv_from_payload(prm, payload, inp, cfg, chunk_size=chunk,
+                                  custom_adjoint=custom)
+        return jnp.sum(out * w)
+
+    for chunk in (None, 100):
+        got = jax.grad(loss, argnums=(0, 1, 2))(pos, params, x, True, chunk)
+        ref = jax.grad(loss, argnums=(0, 1, 2))(pos, params, x, False, chunk)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+    # Tanh activation branch of the hand-written adjoint.
+    cfg_t = CFConvConfig(width=8, num_gaussians=5, cutoff=4.0,
+                         gaussian_width=0.5, activation='tanh')
+
+    def loss_t(p, prm, inp, custom):
+        payload = cl.build_payload(p, box)
+        out = cfconv_from_payload(prm, payload, inp, cfg_t, chunk_size=100,
+                                  custom_adjoint=custom)
+        return jnp.sum(out * w)
+
+    got = jax.grad(loss_t, argnums=(0, 1, 2))(pos, params, x, True)
+    ref = jax.grad(loss_t, argnums=(0, 1, 2))(pos, params, x, False)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_payload_bf16_compute_dtype(golden_cfconv):
+    """bf16 matmul/gather operands with f32 accumulation stay within ~1e-2
+    relative of the f32 path (production option, mirrors nn_dtype)."""
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.ops.cfconv import cfconv_from_payload
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(300, seed=4)
+    cfg = CFConvConfig(width=8, num_gaussians=5, cutoff=4.0,
+                       gaussian_width=0.5)
+    params = CFConvParams.from_reference_layout(
+        golden_cfconv['w1'], golden_cfconv['b1'],
+        golden_cfconv['w2'], golden_cfconv['b2'])
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(len(water.positions), 8).astype(np.float32))
+    cl = CellList.create(water.box, cfg.cutoff, capacity=64)
+    payload = cl.build_payload(pos, box)
+    f32 = cfconv_from_payload(params, payload, x, cfg)
+    bf16 = cfconv_from_payload(params, payload, x, cfg,
+                               compute_dtype=jnp.bfloat16)
+    scale = float(jnp.max(jnp.abs(f32)))
+    err = float(jnp.max(jnp.abs(bf16 - f32))) / scale
+    assert err < 1e-2, f'bf16 payload conv error {err}'
+
+
+def test_distances_payload_mirror_adjoint(golden_cfconv):
+    """select(build_mirror=True) + payload_distances_from_selection +
+    cfconv_masked (the scatter-free 26k production chain) matches the
+    generic payload path for values AND position/input/weight grads."""
+    from nnpops_tpu.models.schnet import CFConvStack
+    from nnpops_tpu.neighbors.cell_list import CellList
+    from nnpops_tpu.utils.water import make_water_box
+
+    water = make_water_box(300, seed=4)
+    cfg = CFConvConfig(width=8, num_gaussians=5, cutoff=4.0,
+                       gaussian_width=0.5)
+    stack = CFConvStack(cfg, num_layers=2)
+    params = stack.init(jax.random.PRNGKey(7))
+    pos = jnp.asarray(water.positions)
+    box = jnp.asarray(water.box)
+    rng = np.random.RandomState(3)
+    n = len(water.positions)
+    x = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    cl = CellList.create(water.box, cfg.cutoff, capacity=64)
+
+    def loss_new(p, prm, inp, chunk):
+        sel = cl.select(p, box, build_mirror=True)
+        d, idx, m = cl.payload_distances_from_selection(p, box, sel)
+        return jnp.sum(stack.apply_distances(prm, d, idx, m, inp,
+                                             chunk_size=chunk) * w)
+
+    def loss_ref(p, prm, inp, chunk):
+        payload = cl.build_payload(p, box)
+        return jnp.sum(stack.apply_payload(prm, payload, inp,
+                                           chunk_size=chunk,
+                                           custom_adjoint=False) * w)
+
+    for chunk in (None, 128):
+        v_new, g_new = jax.value_and_grad(
+            loss_new, argnums=(0, 1, 2))(pos, params, x, chunk)
+        v_ref, g_ref = jax.value_and_grad(
+            loss_ref, argnums=(0, 1, 2))(pos, params, x, chunk)
+        np.testing.assert_allclose(float(v_new), float(v_ref),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_new),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4)
