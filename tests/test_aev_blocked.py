@@ -145,6 +145,7 @@ def test_triple_tables_cover_all_pairs():
     assert list(t.pair_ids) == want_ids
 
 
+@pytest.mark.slow          # blocked impl is the legacy non-default path
 def test_ani_model_blocked_impl_matches_payload_impl():
     water = make_water_box(48, seed=0)
     basis = ANIBasis.ani2x()

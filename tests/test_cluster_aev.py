@@ -9,6 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# The cluster radial path is correctness-kept but off by default (measured
+# slower than the window kernels, NOTES_PERF r2); its 1300-molecule fixtures
+# cost ~14 min of the 1-CPU quick gate. Full-lane coverage only.
+pytestmark = pytest.mark.slow
+
 from nnpops_tpu.config import ANIBasis
 from nnpops_tpu.models.ani import ANIModel, init_ani_params
 from nnpops_tpu.neighbors.clusters import plan_clusters, select_clusters

@@ -199,6 +199,7 @@ def test_jit_whole_pme():
     np.testing.assert_allclose(e1, e2, rtol=1e-5)
 
 
+@pytest.mark.slow          # O(N) chunked vs O(N*grid) scatter oracle
 def test_chunked_spread_matches_scatter():
     """The scatter-free chunked spreading path (spread_charges_chunked) is
     exact against the direct scatter-add formulation — values, position

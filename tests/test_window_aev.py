@@ -189,6 +189,7 @@ def test_window_requires_cells():
     assert model.aev_impl == 'pallas'         # automatic fallback
 
 
+@pytest.mark.slow          # z-pair kernel is off by default
 def test_pair_radial_matches_window_radial(setup):
     """The symmetric cell-pair radial kernel (ops.pallas_zpair) reproduces
     the directed 27-cell window kernel to f32 noise."""
@@ -203,7 +204,8 @@ def test_pair_radial_matches_window_radial(setup):
     np.testing.assert_allclose(f2, f1, rtol=1e-4, atol=2e-6 * scale)
 
 
-def test_window_wrapped_positions_match_pallas(setup):
+@pytest.mark.slow          # wrap semantics also covered by
+def test_window_wrapped_positions_match_pallas(setup):  # test_window_wrap_invariance
     """Atoms translated OUT of the primary box (so the frozen wrap_shift is
     nonzero) still match the min-image pallas path tightly.
 
@@ -224,7 +226,8 @@ def test_window_wrapped_positions_match_pallas(setup):
     np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
 
 
-def test_window_triclinic_box_parity():
+@pytest.mark.slow          # ~5 min interpret-mode; quick lane keeps
+def test_window_triclinic_box_parity():   # the rectangular parity
     """The window fast path on a REDUCED TRICLINIC box matches the
     min-image pallas/blocked oracle (the reference supports triclinic in
     production everywhere: CpuANISymmetryFunctions.cpp:361-379,
@@ -290,6 +293,7 @@ def test_compact_kernel_matches_sort(setup):
     scale = np.abs(np.asarray(f2)).max()
     np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-5 * scale)
 
+@pytest.mark.slow          # 'mask' compaction is a non-default A/B
 def test_compact_mask_matches_sort(setup):
     """The slot-space validity-mask compaction (one kernel over cells, no
     per-atom candidate gather) selects the same neighbor SETS and counts
