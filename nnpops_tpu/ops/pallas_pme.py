@@ -102,7 +102,11 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
     # 4-sublane tiles. The row loop is a grid dimension (pipelined DMA),
     # not a fori_loop.
     def _pick_rb(n_arrays: int) -> int:
-        budget = int(6e6 // (kk * 4 * n_arrays)) // 8 * 8
+        # ~8 MB of the ~16 MB scoped VMEM for the live [rb, kk] f32 set
+        # (6 MB measured safe in round 2 at rb=8; the 2D-grid restructure
+        # keeps the same array census, so 8 MB still leaves the lane
+        # inputs + dctr block + pipelining headroom).
+        budget = int(8e6 // (kk * 4 * n_arrays)) // 8 * 8
         hi = int(max(8, min(64, budget, -(-c // 8) * 8)))
         # Among 8-multiples that fit VMEM, keep blocks at >= 4 sublane
         # tiles when the budget allows (narrow tiles are the instruction
