@@ -109,7 +109,12 @@ def composition_model(model, num_atoms: int, refresh: int, measured_us: float):
     # nominal bf16 peak; measured 383 GFLOP in 1.9 ms = 200e12 at 26k);
     # the f32 einsum path measured 43e12.
     MXU = 197.0e12 if model.nn_dtype is not None else 43.0e12
-    GROW = 4.5e-9         # s/row, measured gather/scatter latency wall
+    # Angular payload data movement, calibrated round 5 (probe_glue /
+    # probe_mirror): the forward tier gather runs 2.3 ns/row (26k: 716k
+    # rows in 1.65 ms) and the sort-mirror adjoint's one 4-array lax.sort
+    # costs ~3.1 ns/entry (measured ~2.2 ms) — the old single 4.5 ns
+    # both-ways figure modeled the retired gather-mirror adjoint.
+    GROW = (2.3 + 3.1) / 2 * 1e-9   # s/row avg over (fwd, adjoint)
 
     comp = {}
     vpu_ops = 0.0

@@ -109,3 +109,9 @@ def full_r5(inp):
 
 
 timeit('full [r5 mirror+dist] (build + 6 layers + grad)', full_r5, x)
+
+
+# True neighbor-count headroom: K is sized by density*1.3; if the true max
+# is well below, the cap (and with it every per-lane cost) can tighten.
+print('true max neighbors:', int(payload.max_neighbors),
+      'capacity:', density_cap, flush=True)
