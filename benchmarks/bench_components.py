@@ -120,8 +120,14 @@ def bench_cfconv_periodic(num_atoms, iters):
     side = (num_atoms / 0.1) ** (1 / 3)
     box = np.diag([side] * 3).astype(np.float32)
     pos_np = rng.rand(num_atoms, 3).astype(np.float32) * side
-    # Capacity from the true neighbor-count distribution (+15% headroom).
+    # Capacity from the true neighbor-count distribution (+30% headroom),
+    # rounded UP to a 128-lane multiple: TPU tiles the lane dim to 128
+    # anyway, and the aligned capacity measured FASTER end-to-end than the
+    # smaller unaligned one (26k: K=640 1526 ms vs K=544 1685 ms —
+    # NOTES_PERF r5; the nominal +18% lanes are edge-padding XLA was
+    # already paying for).
     density_cap = int(4 / 3 * np.pi * cfg.cutoff ** 3 * 0.1 * 1.3)
+    density_cap = -(-density_cap // 128) * 128
     cell_list = CellList.create(box, cfg.cutoff, capacity=density_cap)
     pos = jnp.asarray(pos_np)
     x = jnp.asarray(rng.randn(num_atoms, 128).astype(np.float32))

@@ -172,7 +172,7 @@ def cfconv_from_payload(params: CFConvParams, payload, inputs: Array,
 def cfconv_masked(params: CFConvParams, distances: Array, mask: Array,
                   indices: Array, inputs: Array, config: CFConvConfig,
                   chunk_size: Optional[int] = None,
-                  compute_dtype=None) -> Array:
+                  compute_dtype=None, bwd_impl: str = 'xla') -> Array:
     """CFConv over an explicit (distances, mask, indices) neighbor triple
     (e.g. ``CellList.payload_distances_from_selection`` — the production
     26k path whose position adjoint is scatter-free). Same math as
@@ -184,13 +184,14 @@ def cfconv_masked(params: CFConvParams, distances: Array, mask: Array,
     idx = jnp.where(m, indices, n)
     dt_name = (None if compute_dtype is None
                else jnp.dtype(compute_dtype).name)
-    conv = _make_payload_conv(config, chunk_size, dt_name)
+    conv = _make_payload_conv(config, chunk_size, dt_name,
+                              bwd_impl=bwd_impl)
     return conv(params, dist, m, idx, inputs)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_payload_conv(config: CFConvConfig, chunk_size: Optional[int],
-                       dtype_name: Optional[str]):
+                       dtype_name: Optional[str], bwd_impl: str = 'xla'):
     """Build the custom-VJP payload conv for one (config, chunk, dtype).
 
     Forward per chunk of atom rows (B = chunk rows, K lanes, W width,
@@ -214,6 +215,8 @@ def _make_payload_conv(config: CFConvConfig, chunk_size: Optional[int],
       both the gaussian centers and the cutoff (CpuCFConv.cpp:211-299
       derives the same terms; here they are [BK, *] matmuls).
     """
+    if bwd_impl not in ('xla', 'pallas'):
+        raise ValueError(f'unknown bwd_impl {bwd_impl!r}')
     dtype = None if dtype_name is None else jnp.dtype(dtype_name)
     rc = float(config.cutoff)
     gw = float(config.gaussian_width)
@@ -312,20 +315,39 @@ def _make_payload_conv(config: CFConvConfig, chunk_size: Optional[int],
     def _conv_fwd(params, dist, mask, idx, x):
         return conv(params, dist, mask, idx, x), (params, dist, mask, idx, x)
 
+    def _bwd_rows_pallas(params, d, m, i, x_pad, g_pad, gc):
+        """Fused-kernel chunk backward (ops/pallas_cfconv): same outputs
+        as _bwd_rows, with the filter recompute + all adjoint algebra in
+        one VMEM-resident pass. The two neighbor gathers stay in XLA."""
+        from .pallas_cfconv import make_cfconv_bwd_kernel
+        kfn = make_cfconv_bwd_kernel(config, int(d.shape[1]))
+        xg = x_pad[i]
+        gg = g_pad[i]
+        # d carries exact zeros on masked lanes (set by cfconv_masked);
+        # the kernel recovers validity as d > 0, so no mask operand.
+        del m
+        dd, dx, dw1, db1, dw2, db2 = kfn(d, xg, gg, gc, params)
+        return (dw1, db1, dw2, db2), dd, dx
+
     def _conv_bwd(res, g):
         params, dist, mask, idx, x = res
         n, width = x.shape
         x_pad = jnp.concatenate([x, jnp.zeros((1, width), x.dtype)])
         g_pad = jnp.concatenate([g, jnp.zeros((1, width), g.dtype)])
         b, nb, pad = _chunks(n)
+        # The fused kernel needs 128-multiple lanes and 16-multiple rows;
+        # anything else falls back to the XLA chunk body.
+        use_pallas = (bwd_impl == 'pallas' and dist.shape[1] % 128 == 0
+                      and (b % 16 == 0 if nb > 1 else n % 16 == 0))
+        bwd_rows = _bwd_rows_pallas if use_pallas else _bwd_rows
         if nb == 1:
-            dw, d_dist, d_x = _bwd_rows(params, dist, mask, idx, x_pad,
-                                        g_pad, g)
+            dw, d_dist, d_x = bwd_rows(params, dist, mask, idx, x_pad,
+                                       g_pad, g)
             return (CFConvParams(*dw), d_dist, None, None, d_x)
 
         def body(carry, a):
-            dw, dd, dx = _bwd_rows(params, a[0], a[1], a[2], x_pad, g_pad,
-                                   a[3])
+            dw, dd, dx = bwd_rows(params, a[0], a[1], a[2], x_pad, g_pad,
+                                  a[3])
             return (tuple(c + p for c, p in zip(carry, dw))), (dd, dx)
 
         zeros = (jnp.zeros_like(params.w1), jnp.zeros_like(params.b1),
