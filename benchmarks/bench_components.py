@@ -206,7 +206,8 @@ def bench_pme(num_molecules, iters):
     # dense window Pallas kernel (no pair list at all; the flat-pair cell
     # route was 438 ms of a 454 ms 26k evaluation, NOTES_PERF session 6).
     # The standalone O(N^2) enumeration is 3.4e8 candidate pairs at 26k.
-    window_plan = pme.plan_direct_window(water.box, cutoff, water.positions)
+    window_plan = pme.plan_direct_window(water.box, cutoff, water.positions,
+                                         bucket=True)
     if window_plan[0] is not None:
         def direct(p):
             return pme.compute_direct_window(p, q, cutoff, box, window_plan)

@@ -58,10 +58,14 @@ class ANIWithPME:
         direct window grid (host-side, once)."""
         plan = None
         if positions is not None and box is not None:
-            grid, cap = pme.plan_direct_window(box, pme_cutoff, positions,
-                                               margin=margin)
+            grid, cap, small, nbig = pme.plan_direct_window(
+                box, pme_cutoff, positions, margin=margin, bucket=True)
             if grid is not None:
-                plan = (grid, cap)
+                # Cell-occupancy bucketing (round 5): ~6% off the 26k
+                # direct kernel; the big-cell-count limit rides the same
+                # overflow channel (direct_window_overflow handles the
+                # 4-tuple plan).
+                plan = (grid, cap, small, nbig)
         return cls(ani=ani, pme=pme, pme_cutoff=pme_cutoff,
                    pme_window_plan=plan)
 

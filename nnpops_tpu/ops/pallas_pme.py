@@ -64,7 +64,9 @@ def _erfc_poly(x):
 def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
                            ncells3: Tuple[int, int, int], capacity: int,
                            num_excl: int,
-                           interpret: Optional[bool] = None):
+                           interpret: Optional[bool] = None,
+                           center_rows: Optional[int] = None,
+                           use_cellmap: bool = False):
     """Build the fused window direct-space function for one configuration.
 
     Returns ``fn(candx, candy, candz, candq, centers, excl) ->
@@ -78,6 +80,15 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
       pass a [ncells, c, 1] array of -1 when E = 0).
 
     Differentiable in (candx, candy, candz, candq, centers).
+
+    ``center_rows``: center-row count per cell <= capacity (cell-occupancy
+    bucketing: low-occupancy cells pass packed [*, center_rows, 4] centers
+    against the full-capacity candidate window — rows are slot ranks, so
+    the self-lane identity is unchanged). ``use_cellmap``: the returned fn
+    takes a trailing int32 [ncells_call] TRUE-cell-id map (scalar-prefetch)
+    instead of assuming grid position == cell id — required whenever the
+    caller permutes cells (bucketing sorts big cells first), since the
+    lane slot ids / self-exclusion derive the stencil from the cell id.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
@@ -87,6 +98,7 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
     nx, ny, nz = (int(v) for v in ncells3)
     ncells = nx * ny * nz
     c = int(capacity)
+    cr = int(center_rows) if center_rows else c
     kk = 27 * c
     ne = max(int(num_excl), 1)
     has_excl = num_excl > 0
@@ -107,18 +119,18 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
         # keeps the same array census, so 8 MB still leaves the lane
         # inputs + dctr block + pipelining headroom).
         budget = int(8e6 // (kk * 4 * n_arrays)) // 8 * 8
-        hi = int(max(8, min(64, budget, -(-c // 8) * 8)))
+        hi = int(max(8, min(64, budget, -(-cr // 8) * 8)))
         # Among 8-multiples that fit VMEM, keep blocks at >= 4 sublane
         # tiles when the budget allows (narrow tiles are the instruction
-        # wall), then minimize padded-row waste (ceil(c/rb)*rb),
+        # wall), then minimize padded-row waste (ceil(cr/rb)*rb),
         # tie-broken toward wider blocks.
         cands = range(min(32, hi), hi + 1, 8)
-        return min(cands, key=lambda r: (-(-c // r) * r, -r))
+        return min(cands, key=lambda r: (-(-cr // r) * r, -r))
 
     rb_f = _pick_rb(7)
     rb_b = _pick_rb(14)
-    cpad_f = -(-c // rb_f) * rb_f
-    cpad_b = -(-c // rb_b) * rb_b
+    cpad_f = -(-cr // rb_f) * rb_f
+    cpad_b = -(-cr // rb_b) * rb_b
 
     def lane_slot_ids(a):
         """[1, kk] global slot id of every window lane of cell ``a``
@@ -162,9 +174,14 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
             m = m | (excl[:, e:e + 1] == slot_ids)
         return m
 
-    def fwd_kernel(cx_ref, cy_ref, cz_ref, cq_ref, ctr_ref, excl_ref,
-                   out_ref):
-        a = pl.program_id(0)
+    def fwd_kernel(*refs):
+        if use_cellmap:
+            cid_ref, refs = refs[0], refs[1:]
+            a = cid_ref[pl.program_id(0)]
+        else:
+            a = pl.program_id(0)
+        (cx_ref, cy_ref, cz_ref, cq_ref, ctr_ref, excl_ref,
+         out_ref) = refs
         j = pl.program_id(1)
         cx = cx_ref[0]
         cy = cy_ref[0]
@@ -179,9 +196,14 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
         qq = ctr[:, 3:4] * cq                             # [rb_f, kk]
         out_ref[0] = (0.5 * ke) * jnp.sum(qq * w, axis=1, keepdims=True)
 
-    def bwd_kernel(cx_ref, cy_ref, cz_ref, cq_ref, ctr_ref, excl_ref,
-                   g_ref, dcx_ref, dcy_ref, dcz_ref, dcq_ref, dctr_ref):
-        a = pl.program_id(0)
+    def bwd_kernel(*refs):
+        if use_cellmap:
+            cid_ref, refs = refs[0], refs[1:]
+            a = cid_ref[pl.program_id(0)]
+        else:
+            a = pl.program_id(0)
+        (cx_ref, cy_ref, cz_ref, cq_ref, ctr_ref, excl_ref,
+         g_ref, dcx_ref, dcy_ref, dcz_ref, dcq_ref, dctr_ref) = refs
         j = pl.program_id(1)
         cx = cx_ref[0]
         cy = cy_ref[0]
@@ -238,75 +260,108 @@ def make_pme_window_kernel(cutoff: float, alpha: float, coulomb: float,
              dq_row], axis=1)
 
     def lane_spec():
-        return pl.BlockSpec((1, 1, kk), lambda i, j: (i, 0, 0),
+        # *_ tolerates the scalar-prefetch ref PrefetchScalarGridSpec
+        # appends to index_map arguments (use_cellmap mode).
+        return pl.BlockSpec((1, 1, kk), lambda i, j, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def row_spec(rows, width):
-        return pl.BlockSpec((1, rows, width), lambda i, j: (i, j, 0),
+        return pl.BlockSpec((1, rows, width), lambda i, j, *_: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
     def _mid(x):
         return x.reshape(x.shape[0], 1, x.shape[1])
 
     def _pad_rows(x, cpad, fill):
-        if cpad == c:
+        if cpad == x.shape[1]:
             return x
         return jnp.concatenate(
-            [x, jnp.full((x.shape[0], cpad - c) + x.shape[2:], fill,
-                         x.dtype)], axis=1)
+            [x, jnp.full((x.shape[0], cpad - x.shape[1]) + x.shape[2:],
+                         fill, x.dtype)], axis=1)
 
-    def run_fwd(candx, candy, candz, candq, centers, excl):
-        out = pl.pallas_call(
-            fwd_kernel,
-            grid=(ncells, cpad_f // rb_f),
-            in_specs=[lane_spec()] * 4 + [row_spec(rb_f, 4),
-                                          row_spec(rb_f, ne)],
-            out_specs=row_spec(rb_f, 1),
-            out_shape=jax.ShapeDtypeStruct((ncells, cpad_f, 1),
-                                           jnp.float32),
-            interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), _mid(candq),
-          _pad_rows(centers, cpad_f, 2.0 * FAR),
-          _pad_rows(excl, cpad_f, -1))
-        return out[:, :c]
+    def _call(kernel, nc_call, rb, in_specs, out_specs, out_shape, args,
+              cellmap):
+        if use_cellmap:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(nc_call, -(-cr // rb)),
+                in_specs=in_specs, out_specs=out_specs)
+            return pl.pallas_call(kernel, grid_spec=grid_spec,
+                                  out_shape=out_shape,
+                                  interpret=interpret)(
+                cellmap.astype(jnp.int32), *args)
+        return pl.pallas_call(kernel, grid=(nc_call, -(-cr // rb)),
+                              in_specs=in_specs, out_specs=out_specs,
+                              out_shape=out_shape,
+                              interpret=interpret)(*args)
 
-    def run_bwd(candx, candy, candz, candq, centers, excl, g):
-        outs = pl.pallas_call(
-            bwd_kernel,
-            grid=(ncells, cpad_b // rb_b),
-            in_specs=[lane_spec()] * 4 + [row_spec(rb_b, 4),
-                                          row_spec(rb_b, ne),
-                                          row_spec(rb_b, 1)],
-            out_specs=(lane_spec(),) * 4 + (row_spec(rb_b, 4),),
-            out_shape=(jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, 1, kk), jnp.float32),
-                       jax.ShapeDtypeStruct((ncells, cpad_b, 4),
-                                            jnp.float32)),
-            interpret=interpret,
-        )(_mid(candx), _mid(candy), _mid(candz), _mid(candq),
-          _pad_rows(centers, cpad_b, 2.0 * FAR),
-          _pad_rows(excl, cpad_b, -1), _pad_rows(g, cpad_b, 0.0))
+    def run_fwd(candx, candy, candz, candq, centers, excl, cellmap):
+        nc_call = candx.shape[0]
+        out = _call(
+            fwd_kernel, nc_call, rb_f,
+            [lane_spec()] * 4 + [row_spec(rb_f, 4), row_spec(rb_f, ne)],
+            row_spec(rb_f, 1),
+            jax.ShapeDtypeStruct((nc_call, cpad_f, 1), jnp.float32),
+            (_mid(candx), _mid(candy), _mid(candz), _mid(candq),
+             _pad_rows(centers, cpad_f, 2.0 * FAR),
+             _pad_rows(excl, cpad_f, -1)), cellmap)
+        return out[:, :cr]
+
+    def run_bwd(candx, candy, candz, candq, centers, excl, cellmap, g):
+        nc_call = candx.shape[0]
+        outs = _call(
+            bwd_kernel, nc_call, rb_b,
+            [lane_spec()] * 4 + [row_spec(rb_b, 4), row_spec(rb_b, ne),
+                                 row_spec(rb_b, 1)],
+            (lane_spec(),) * 4 + (row_spec(rb_b, 4),),
+            (jax.ShapeDtypeStruct((nc_call, 1, kk), jnp.float32),
+             jax.ShapeDtypeStruct((nc_call, 1, kk), jnp.float32),
+             jax.ShapeDtypeStruct((nc_call, 1, kk), jnp.float32),
+             jax.ShapeDtypeStruct((nc_call, 1, kk), jnp.float32),
+             jax.ShapeDtypeStruct((nc_call, cpad_b, 4), jnp.float32)),
+            (_mid(candx), _mid(candy), _mid(candz), _mid(candq),
+             _pad_rows(centers, cpad_b, 2.0 * FAR),
+             _pad_rows(excl, cpad_b, -1), _pad_rows(g, cpad_b, 0.0)),
+            cellmap)
         dcx, dcy, dcz, dcq, dctr = outs
-        return (dcx.reshape(ncells, kk), dcy.reshape(ncells, kk),
-                dcz.reshape(ncells, kk), dcq.reshape(ncells, kk),
-                dctr[:, :c])
+        return (dcx.reshape(nc_call, kk), dcy.reshape(nc_call, kk),
+                dcz.reshape(nc_call, kk), dcq.reshape(nc_call, kk),
+                dctr[:, :cr])
 
-    @jax.custom_vjp
-    def pme_window(candx, candy, candz, candq, centers, excl):
-        return run_fwd(candx, candy, candz, candq, centers, excl)
+    if use_cellmap:
+        @jax.custom_vjp
+        def pme_window(candx, candy, candz, candq, centers, excl,
+                       cellmap):
+            return run_fwd(candx, candy, candz, candq, centers, excl,
+                           cellmap)
 
-    def _fwd(candx, candy, candz, candq, centers, excl):
-        return (run_fwd(candx, candy, candz, candq, centers, excl),
-                (candx, candy, candz, candq, centers, excl))
+        def _fwd(candx, candy, candz, candq, centers, excl, cellmap):
+            return (run_fwd(candx, candy, candz, candq, centers, excl,
+                            cellmap),
+                    (candx, candy, candz, candq, centers, excl, cellmap))
 
-    def _bwd(res, g):
-        candx, candy, candz, candq, centers, excl = res
-        dcx, dcy, dcz, dcq, dctr = run_bwd(candx, candy, candz, candq,
-                                           centers, excl,
-                                           g.astype(jnp.float32))
-        return dcx, dcy, dcz, dcq, dctr, None
+        def _bwd(res, g):
+            candx, candy, candz, candq, centers, excl, cellmap = res
+            dcx, dcy, dcz, dcq, dctr = run_bwd(
+                candx, candy, candz, candq, centers, excl, cellmap,
+                g.astype(jnp.float32))
+            return dcx, dcy, dcz, dcq, dctr, None, None
+    else:
+        @jax.custom_vjp
+        def pme_window(candx, candy, candz, candq, centers, excl):
+            return run_fwd(candx, candy, candz, candq, centers, excl,
+                           None)
+
+        def _fwd(candx, candy, candz, candq, centers, excl):
+            return (run_fwd(candx, candy, candz, candq, centers, excl,
+                            None),
+                    (candx, candy, candz, candq, centers, excl))
+
+        def _bwd(res, g):
+            candx, candy, candz, candq, centers, excl = res
+            dcx, dcy, dcz, dcq, dctr = run_bwd(
+                candx, candy, candz, candq, centers, excl, None,
+                g.astype(jnp.float32))
+            return dcx, dcy, dcz, dcq, dctr, None
 
     pme_window.defvjp(_fwd, _bwd)
     return pme_window
@@ -319,7 +374,9 @@ def pme_direct_window(positions: Array, charges: Array, box: Array,
                       exclusions: Array, cutoff: float, alpha: float,
                       coulomb: float, ncells3: Tuple[int, int, int],
                       capacity: int,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      small_cap: Optional[int] = None,
+                      num_big: Optional[int] = None):
     """Direct-space Ewald energy via the dense per-cell window kernel.
 
     ``ncells3``/``capacity``: cell grid (>= 3 per axis, cell width >=
@@ -327,6 +384,16 @@ def pme_direct_window(positions: Array, charges: Array, box: Array,
     the occupancy is the usual soft-failure count (compare against
     ``capacity`` between jitted calls; getNeighborPairs.py:77-83).
     Differentiable in positions, charges, and box.
+
+    ``small_cap``/``num_big`` (cell-occupancy bucketing, the radial-AEV
+    kernel's trick): cells with occupancy > small_cap sort to the front
+    and run at full capacity rows; the rest run with centers packed to
+    ``small_cap`` rows — mean occupancy sits well under the Poisson-safe
+    capacity, so the small class drops most of the center-row padding.
+    If MORE than ``num_big`` cells are big at runtime the overflowing
+    cells lose center rows; that state is folded into the returned
+    occupancy as a sentinel (2^30), so existing ``> capacity`` checks
+    fire — the standard soft-failure contract.
     """
     from ..geometry import box_transform
     from ..neighbors.window import _make_stencil_window, _window_tables
@@ -392,15 +459,47 @@ def pme_direct_window(positions: Array, charges: Array, box: Array,
     candz = win[2] + shift_planes[2]
     candq = win[3]
 
-    key = (float(cutoff), float(alpha), float(coulomb), (nx, ny, nz), c,
-           num_excl, interpret)
-    if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = make_pme_window_kernel(
-            cutoff, alpha, coulomb, (nx, ny, nz), c, num_excl,
-            interpret=interpret)
-    e_slots = _KERNEL_CACHE[key](candx, candy, candz, candq, centers,
-                                 excl_table)
-    return jnp.sum(e_slots), max_occ
+    def _kernel(cr, cellmap):
+        key = (float(cutoff), float(alpha), float(coulomb), (nx, ny, nz),
+               c, num_excl, interpret, cr, cellmap)
+        if key not in _KERNEL_CACHE:
+            _KERNEL_CACHE[key] = make_pme_window_kernel(
+                cutoff, alpha, coulomb, (nx, ny, nz), c, num_excl,
+                interpret=interpret, center_rows=cr, use_cellmap=cellmap)
+        return _KERNEL_CACHE[key]
+
+    bucketed = (small_cap is not None and num_big is not None
+                and 0 < int(num_big) < ncells and int(small_cap) < c)
+    if not bucketed:
+        e_slots = _kernel(None, False)(candx, candy, candz, candq,
+                                       centers, excl_table)
+        return jnp.sum(e_slots), max_occ
+
+    from ..neighbors.window import _perm_gather, _perm_gather_mid
+    sc = int(small_cap)
+    nb = int(num_big)
+    is_big = occupancy > sc
+    n_big_true = jnp.sum(is_big.astype(jnp.int32))
+    perm = jnp.argsort(~is_big, stable=True).astype(jnp.int32)
+    inv_perm = jnp.zeros((ncells,), jnp.int32).at[perm].set(
+        jnp.arange(ncells, dtype=jnp.int32))
+    cand = jnp.stack([candx, candy, candz, candq])      # [4, ncells, kk]
+    candp = _perm_gather_mid(cand, perm, inv_perm)
+    ctrp = _perm_gather(centers, perm, inv_perm)
+    exclp = excl_table[perm]                            # int32, non-diff
+    e_big = _kernel(None, True)(
+        candp[0, :nb], candp[1, :nb], candp[2, :nb], candp[3, :nb],
+        ctrp[:nb], exclp[:nb], perm[:nb])
+    e_small = _kernel(sc, True)(
+        candp[0, nb:], candp[1, nb:], candp[2, nb:], candp[3, nb:],
+        ctrp[nb:, :sc], exclp[nb:, :sc], perm[nb:])
+    energy = jnp.sum(e_big) + jnp.sum(e_small)
+    # Fold big-cell-count overflow into the occupancy channel: callers'
+    # `occupancy > capacity` checks must fire when any planned-small cell
+    # actually held > small_cap atoms (its rows beyond small_cap dropped).
+    max_occ_eff = jnp.where(n_big_true <= nb, max_occ,
+                            jnp.int32(2 ** 30 - 1))
+    return energy, max_occ_eff
 
 
 def pme_window_occupancy(positions: Array, box: Array,
@@ -421,25 +520,64 @@ def pme_window_occupancy(positions: Array, box: Array,
     return jnp.max(counts)
 
 
+def pme_window_count_overflow(positions: Array, box: Array,
+                              window_plan) -> Array:
+    """Soft-failure channel for a BUCKETED window plan: returns a value
+    above the plan's capacity iff more cells exceed small_cap than the
+    planned num_big (those cells' center rows beyond small_cap were
+    dropped), else 0 — so one `occupancy > capacity` check covers both
+    the per-cell and the big-cell-count limits."""
+    from ..geometry import box_transform
+    ncells3, capacity, small_cap, num_big = window_plan[:4]
+    nx, ny, nz = (int(v) for v in ncells3)
+    inv = jnp.linalg.inv(box)
+    frac = box_transform(positions, inv)
+    frac = frac - jnp.floor(frac)
+    ncells_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+    cell3 = jnp.clip((frac * ncells_arr).astype(jnp.int32), 0,
+                     ncells_arr - 1)
+    cell_id = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
+    counts = jax.ops.segment_sum(jnp.ones_like(cell_id), cell_id,
+                                 num_segments=nx * ny * nz)
+    n_big = jnp.sum((counts > int(small_cap)).astype(jnp.int32))
+    return jnp.where(n_big <= int(num_big), 0,
+                     jnp.int32(int(capacity) + 1))
+
+
 def plan_pme_window(box, cutoff: float, positions,
-                    margin: float = 1.25):
+                    margin: float = 1.25, bucket: bool = False):
     """Host-side planner: (ncells3, capacity) for the window direct path,
     or (None, None) when the box is under 3 cells wide. Capacity comes
     from the TRUE max cell occupancy of ``positions`` times ``margin``
     (density fluctuations during MD are absorbed by the margin; beyond it
-    is the observable ``pme_window_occupancy`` soft failure)."""
+    is the observable ``pme_window_occupancy`` soft failure).
+
+    ``bucket``: additionally plan cell-occupancy bucketing — returns
+    (ncells3, capacity, small_cap, num_big) with small_cap sized to the
+    90th-percentile occupancy (+10% margin) and num_big to 1.5x the
+    observed big-cell count (+4), both soft-failure-guarded at runtime.
+    Falls back to (ncells3, capacity, None, None) when the distribution
+    offers no useful split."""
     from ..neighbors.cell_list import _perpendicular_widths
     box_np = np.asarray(box, np.float64)
     widths = _perpendicular_widths(box_np)
     nc = np.maximum(np.floor(widths / float(cutoff)).astype(int), 1)
     if (nc < 3).any():
-        return None, None
+        return (None, None, None, None) if bucket else (None, None)
     nx, ny, nz = (int(v) for v in nc)
     frac = np.asarray(positions, np.float64) @ np.linalg.inv(box_np)
     frac -= np.floor(frac)
     cell3 = np.minimum((frac * nc).astype(int), nc - 1)
     cid = (cell3[:, 0] * ny + cell3[:, 1]) * nz + cell3[:, 2]
-    true_max = int(np.bincount(cid, minlength=nx * ny * nz).max())
+    occ = np.bincount(cid, minlength=nx * ny * nz)
+    true_max = int(occ.max())
     cap = int(np.ceil(true_max * margin)) + 1
     cap = -(-cap // 8) * 8
-    return (nx, ny, nz), cap
+    if not bucket:
+        return (nx, ny, nz), cap
+    small = int(np.ceil(np.percentile(occ, 90) * 1.1)) + 1
+    small = -(-small // 8) * 8
+    nbig = min(len(occ), int(np.ceil(np.sum(occ > small) * 1.5)) + 4)
+    if small >= cap or nbig >= len(occ):
+        return (nx, ny, nz), cap, None, None
+    return (nx, ny, nz), cap, small, nbig

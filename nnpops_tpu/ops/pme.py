@@ -467,13 +467,15 @@ class PME:
                                  self.config.alpha, self.config.coulomb)
 
     def plan_direct_window(self, box_vectors, cutoff: float, positions,
-                           margin: float = 1.25):
+                           margin: float = 1.25, bucket: bool = False):
         """Host-side plan (cell grid, capacity) for the window direct-space
         kernel, sized from the true cell occupancy of ``positions`` times
-        ``margin``; None when the box is under 3 cells of ``cutoff``."""
+        ``margin``; None when the box is under 3 cells of ``cutoff``.
+        ``bucket=True`` additionally plans cell-occupancy bucketing
+        (4-tuple plan; see ``pallas_pme.plan_pme_window``)."""
         from .pallas_pme import plan_pme_window
         return plan_pme_window(np.asarray(box_vectors), cutoff, positions,
-                               margin=margin)
+                               margin=margin, bucket=bucket)
 
     def compute_direct_window(self, positions: Array, charges: Array,
                               cutoff: float, box_vectors: Array,
@@ -495,10 +497,12 @@ class PME:
             raise ValueError('cutoff must be positive')
         if not isinstance(box_vectors, jax.core.Tracer):
             validate_box(box_vectors, cutoff)
-        ncells3, capacity = window_plan
+        ncells3, capacity, *buck = window_plan
+        small_cap, num_big = buck if buck else (None, None)
         energy, _ = pme_direct_window(
             positions, charges, box_vectors, self.exclusions, cutoff,
-            self.config.alpha, self.config.coulomb, ncells3, capacity)
+            self.config.alpha, self.config.coulomb, ncells3, capacity,
+            small_cap=small_cap, num_big=num_big)
         return energy - pme_exclusion_compensation(
             positions, charges, self.exclusions, self.config.alpha,
             self.config.coulomb)
@@ -506,9 +510,17 @@ class PME:
     def direct_window_overflow(self, positions: Array, box_vectors: Array,
                                window_plan) -> Array:
         """TRUE max per-cell occupancy of the window direct path, as data —
-        compare against ``window_plan[1]`` between jitted calls."""
-        from .pallas_pme import pme_window_occupancy
-        return pme_window_occupancy(positions, box_vectors, window_plan[0])
+        compare against ``window_plan[1]`` between jitted calls. For a
+        bucketed 4-tuple plan the big-cell-COUNT overflow (more cells
+        above small_cap than planned) is folded in as a value above the
+        capacity, so the same ``> capacity`` check covers both limits."""
+        from .pallas_pme import pme_window_count_overflow, \
+            pme_window_occupancy
+        occ = pme_window_occupancy(positions, box_vectors, window_plan[0])
+        if len(window_plan) >= 4 and window_plan[2] is not None:
+            occ = jnp.maximum(occ, pme_window_count_overflow(
+                positions, box_vectors, window_plan))
+        return occ
 
     def compute_reciprocal(self, positions: Array, charges: Array,
                            box_vectors: Array) -> Array:

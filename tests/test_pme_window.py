@@ -123,3 +123,53 @@ def test_window_occupancy_contract(setup):
                                      jnp.asarray(water.box), plan)
     assert int(occ) <= plan[1]          # the plan must actually hold
     assert int(occ) > 0
+
+
+@pytest.mark.parametrize('use_excl', [False, True])
+def test_window_bucketed_matches_unbucketed(setup, use_excl):
+    """Cell-occupancy bucketing (big cells at full rows via the cell-id
+    prefetch map, small cells packed to small_cap) reproduces the
+    unbucketed window energy and position gradients exactly."""
+    water, excl = setup
+    n = len(water.positions)
+    e = excl if use_excl else np.zeros((n, 0), np.int32)
+    pme = PME(12, 12, 12, 4, 1.1, 138.935, e)
+    box = jnp.asarray(water.box)
+    q = jnp.asarray(water.charges)
+    plan = pme.plan_direct_window(water.box, CUTOFF, water.positions)
+    # Force a non-trivial split regardless of the sampled distribution.
+    cap = plan[1]
+    small = max(8, cap - 8)
+    nbig = max(1, 27 // 2)
+    bucket_plan = (plan[0], cap, small, nbig)
+    pos = jnp.asarray(water.positions)
+
+    def f_ref(p):
+        return pme.compute_direct_window(p, q, CUTOFF, box, plan)
+
+    def f_buck(p):
+        return pme.compute_direct_window(p, q, CUTOFF, box, bucket_plan)
+
+    e_ref, g_ref = jax.value_and_grad(f_ref)(pos)
+    # Validity gate: only compare when the forced split actually holds.
+    occ = pme.direct_window_overflow(pos, box, bucket_plan)
+    if int(occ) > cap:
+        pytest.skip('forced bucket split overflows for this sample')
+    e_b, g_b = jax.value_and_grad(f_buck)(pos)
+    np.testing.assert_allclose(float(e_b), float(e_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_window_bucketed_count_overflow_detected(setup):
+    """More big cells than planned must trip the overflow channel."""
+    water, _ = setup
+    n = len(water.positions)
+    pme = PME(12, 12, 12, 4, 1.1, 138.935, np.zeros((n, 0), np.int32))
+    plan = pme.plan_direct_window(water.box, CUTOFF, water.positions)
+    # small_cap 8 makes nearly every cell 'big'; num_big 1 under-plans.
+    bucket_plan = (plan[0], plan[1], 8, 1)
+    occ = pme.direct_window_overflow(jnp.asarray(water.positions),
+                                     jnp.asarray(water.box), bucket_plan)
+    assert int(occ) > plan[1]
