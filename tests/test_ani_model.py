@@ -147,6 +147,7 @@ def test_nn_bf16_forces_within_reference_gate():
     assert err < 1.2e-2, err
 
 
+@pytest.mark.slow          # conformer-batch API cross-check
 def test_energy_batch_matches_loop(model_and_params):
     """Conformer-batch API: vmapped energies/forces == per-conformer calls
     (the molecule-batch dimension of BatchedNN.py:94-109, extended to the

@@ -91,6 +91,7 @@ def test_checkpoint_shape_mismatch_raises(tmp_path, init_state):
         load_checkpoint(path, bad_template)
 
 
+@pytest.mark.slow          # physics-integration (NVE drift) check
 def test_ani_nve_energy_conservation():
     """NVE with the fused ANI path: total energy drift stays small over a
     500-step velocity-Verlet trajectory (the MD-health metric tracked by

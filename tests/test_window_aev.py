@@ -254,7 +254,8 @@ def test_window_triclinic_box_parity():   # the rectangular parity
     np.testing.assert_allclose(f2, f1, rtol=2e-4, atol=2e-5 * scale)
 
 
-def test_compact_kernel_matches_sort(setup):
+@pytest.mark.slow          # kernel-vs-sort impl A/B; every quick
+def test_compact_kernel_matches_sort(setup):  # window test runs the kernel path
     """The Pallas rank left-pack compaction selects the same neighbor SETS
     and counts as the bitonic lane sorts (lane order differs: entry-major
     vs slot-ascending), and the energies/forces built on top agree."""
